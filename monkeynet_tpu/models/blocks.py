@@ -1,0 +1,385 @@
+"""NN building blocks, channels-last (NDHWC), flax.linen.
+
+TPU-first design choices vs the reference (modules/util.py:45-203,
+sync_batchnorm/*):
+
+  * Layout is NDHWC; spatial-only (1, k, k) "3D" convs are computed as 2D
+    convs with the frame dim folded into batch — identical math, and XLA maps
+    the resulting large NHWC convs straight onto the MXU instead of treating
+    them as thin depth-1 3D convolutions.
+  * Cross-replica batch norm is a single `lax.psum` of (sum, sum-of-squares,
+    count) over the data-parallel mesh axis — this replaces the reference's
+    ~550-line thread-rendezvous sync-BN package (sync_batchnorm/batchnorm.py,
+    comm.py, replicate.py) with two collectives that XLA schedules over ICI.
+    The statistics computed are mathematically identical to the reference's
+    master-reduce (`_compute_mean_std`, sync_batchnorm/batchnorm.py:113-125):
+    biased variance for normalization, unbiased for the running estimate.
+  * Parameter init reproduces torch's Conv/Linear defaults (kaiming-uniform
+    with a=sqrt(5), i.e. U(+-1/sqrt(fan_in)) for both kernel and bias) so our
+    from-scratch training dynamics match the reference's.
+
+Block semantics mirror modules/util.py: DownBlock (conv-BN-relu-avgpool),
+UpBlock (x2 nearest upsample-conv-BN-relu), SameBlock (grouped conv-BN-relu),
+ResBlock (BN-relu-conv twice, residual), Encoder (returns every scale),
+Decoder (skip-concat U-Net), Hourglass (Encoder o Decoder).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from monkeynet_tpu.ops.sampling import resize_nearest
+
+Dtype = Any
+
+# torch Conv default: kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in)).
+torch_kernel_init = nn.initializers.variance_scaling(
+    1.0 / 3.0, "fan_in", "uniform"
+)
+
+
+def torch_bias_init(fan_in: int):
+    bound = 1.0 / math.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class Conv3D(nn.Module):
+    """Conv over (B, D, H, W, C) with torch-default init.
+
+    Spatial-only kernels (depth 1) fold D into batch and run as 2D convs;
+    temporal kernels run as true 3D convs. `groups` is torch-style grouped
+    convolution (feature_group_count).
+    """
+
+    features: int
+    kernel_size: Tuple[int, int, int] = (1, 3, 3)
+    padding: Tuple[int, int, int] = (0, 1, 1)
+    groups: int = 1
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+    kernel_init: Optional[Any] = None
+    bias_init: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x):
+        kt, kh, kw = self.kernel_size
+        pt, ph, pw = self.padding
+        in_ch = x.shape[-1]
+        fan_in = (in_ch // self.groups) * kt * kh * kw
+        kernel_init = self.kernel_init or torch_kernel_init
+        bias_init = self.bias_init or torch_bias_init(fan_in)
+
+        if kt == 1:
+            if pt != 0:
+                raise ValueError("depth-1 kernel with temporal padding")
+            B, D, H, W, C = x.shape
+            y = nn.Conv(
+                self.features,
+                (kh, kw),
+                padding=((ph, ph), (pw, pw)),
+                feature_group_count=self.groups,
+                use_bias=self.use_bias,
+                kernel_init=kernel_init,
+                bias_init=bias_init,
+                dtype=self.dtype,
+                name="conv",
+            )(x.reshape(B * D, H, W, C))
+            return y.reshape(B, D, y.shape[1], y.shape[2], self.features)
+
+        return nn.Conv(
+            self.features,
+            (kt, kh, kw),
+            padding=((pt, pt), (ph, ph), (pw, pw)),
+            feature_group_count=self.groups,
+            use_bias=self.use_bias,
+            kernel_init=kernel_init,
+            bias_init=bias_init,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+
+
+class SyncBatchNorm(nn.Module):
+    """Batch norm with optional cross-replica stats via `lax.psum`.
+
+    Equivalent to the reference's SynchronizedBatchNorm3d: training-mode
+    statistics are computed over the GLOBAL batch (psum of sum/ssum/count
+    over `axis_name` when set — the ICI replacement for
+    sync_batchnorm/comm.py's thread rendezvous); running stats use the
+    unbiased variance (sync_batchnorm/batchnorm.py:113-125). Momentum follows
+    the torch convention: running = (1 - m) * running + m * batch.
+    """
+
+    features: int
+    momentum: float = 0.1
+    eps: float = 1e-5
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros(self.features, jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones(self.features, jnp.float32)
+        )
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+
+        if train:
+            red_axes = tuple(range(x.ndim - 1))
+            local_count = float(np.prod([x.shape[a] for a in red_axes]))
+            xf = x.astype(jnp.float32)
+            s = jnp.sum(xf, axis=red_axes)
+            ss = jnp.sum(xf * xf, axis=red_axes)
+            cnt = jnp.asarray(local_count, jnp.float32)
+            if self.axis_name is not None:
+                s, ss, cnt = jax.lax.psum((s, ss, cnt), axis_name=self.axis_name)
+            mean = s / cnt
+            var = jnp.maximum(ss / cnt - mean * mean, 0.0)
+            if not self.is_initializing():
+                unbiased = var * (cnt / jnp.maximum(cnt - 1.0, 1.0))
+                m = self.momentum
+                ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+                ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        inv = jax.lax.rsqrt(var + self.eps)
+        y = (x - mean.astype(x.dtype)) * (inv * scale).astype(x.dtype)
+        return y + bias.astype(x.dtype)
+
+
+class InstanceNorm(nn.Module):
+    """Per-sample, per-channel normalization over (D, H, W), affine.
+
+    Matches torch InstanceNorm3d(affine=True) as the discriminator uses it
+    (modules/discriminator.py:20): biased variance, eps 1e-5, no running
+    stats.
+    """
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        red = tuple(range(1, x.ndim - 1))
+        mean = jnp.mean(x, axis=red, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=red, keepdims=True)
+        return (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+
+
+def avg_pool_2x2(x):
+    """(1, 2, 2) average pooling over (B, D, H, W, C).
+
+    Floor mode (torch AvgPool3d default): trailing odd row/col is dropped —
+    the discriminator's VALID convs produce odd spatial sizes.
+    """
+    B, D, H, W, C = x.shape
+    H2, W2 = H // 2, W // 2
+    x = x[:, :, : 2 * H2, : 2 * W2]
+    x = x.reshape(B, D, H2, 2, W2, 2, C)
+    return x.mean(axis=(3, 5))
+
+
+class DownBlock(nn.Module):
+    """conv -> BN -> relu -> (1,2,2) avg-pool (encoder step)."""
+
+    features: int
+    kernel_size: Tuple[int, int, int] = (1, 3, 3)
+    padding: Tuple[int, int, int] = (0, 1, 1)
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = Conv3D(self.features, self.kernel_size, self.padding)(x)
+        x = SyncBatchNorm(self.features, axis_name=self.axis_name)(x, train)
+        x = nn.relu(x)
+        return avg_pool_2x2(x)
+
+
+class UpBlock(nn.Module):
+    """x2 nearest upsample -> conv -> BN -> relu (decoder step)."""
+
+    features: int
+    kernel_size: Tuple[int, int, int] = (1, 3, 3)
+    padding: Tuple[int, int, int] = (0, 1, 1)
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        H, W = x.shape[-3], x.shape[-2]
+        x = resize_nearest(x, (2 * H, 2 * W))
+        x = Conv3D(self.features, self.kernel_size, self.padding)(x)
+        x = SyncBatchNorm(self.features, axis_name=self.axis_name)(x, train)
+        return nn.relu(x)
+
+
+class SameBlock(nn.Module):
+    """(grouped) conv -> BN -> relu, resolution-preserving."""
+
+    features: int
+    groups: int = 1
+    kernel_size: Tuple[int, int, int] = (1, 3, 3)
+    padding: Tuple[int, int, int] = (0, 1, 1)
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = Conv3D(self.features, self.kernel_size, self.padding, groups=self.groups)(x)
+        x = SyncBatchNorm(self.features, axis_name=self.axis_name)(x, train)
+        return nn.relu(x)
+
+
+class ResBlock(nn.Module):
+    """Pre-activation residual block: (BN-relu-conv) x2 + skip."""
+
+    features: int
+    kernel_size: Tuple[int, int, int] = (1, 3, 3)
+    padding: Tuple[int, int, int] = (0, 1, 1)
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        out = SyncBatchNorm(self.features, axis_name=self.axis_name, name="norm1")(
+            x, train
+        )
+        out = nn.relu(out)
+        out = Conv3D(self.features, self.kernel_size, self.padding, name="conv1")(out)
+        out = SyncBatchNorm(self.features, axis_name=self.axis_name, name="norm2")(
+            out, train
+        )
+        out = nn.relu(out)
+        out = Conv3D(self.features, self.kernel_size, self.padding, name="conv2")(out)
+        return out + x
+
+
+def _hourglass_channels(block_expansion: int, num_blocks: int, max_features: int):
+    """Per-scale channel counts: scale i (after i+1 downsamples) has
+    min(max_features, block_expansion * 2^(i+1)) channels."""
+    return [
+        min(max_features, block_expansion * (2 ** (i + 1))) for i in range(num_blocks)
+    ]
+
+
+class Encoder(nn.Module):
+    """Stack of DownBlocks; returns ALL intermediate maps [x, f1, ..., fn]."""
+
+    block_expansion: int
+    num_blocks: int = 3
+    max_features: int = 256
+    temporal: bool = False
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        ks = (3, 3, 3) if self.temporal else (1, 3, 3)
+        pad = (1, 1, 1) if self.temporal else (0, 1, 1)
+        chans = _hourglass_channels(
+            self.block_expansion, self.num_blocks, self.max_features
+        )
+        outs = [x]
+        for i, ch in enumerate(chans):
+            outs.append(
+                DownBlock(
+                    ch,
+                    kernel_size=ks,
+                    padding=pad,
+                    axis_name=self.axis_name,
+                    name=f"down{i}",
+                )(outs[-1], train)
+            )
+        return outs
+
+
+class Decoder(nn.Module):
+    """U-Net decoder consuming the Encoder's skip list.
+
+    Each UpBlock output is concatenated with the matching skip; when
+    `additional_features` maps are supplied (generator kp-embedding path)
+    they are pre-concatenated onto every skip INCLUDING the bottleneck by the
+    caller. `use_last_conv=False` returns the final concat for external
+    refinement heads.
+    """
+
+    block_expansion: int
+    out_features: int = 3
+    num_blocks: int = 3
+    max_features: int = 256
+    temporal: bool = False
+    use_last_conv: bool = True
+    axis_name: Optional[str] = None
+    final_kernel_init: Optional[Any] = None
+    final_bias_init: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, skips: Sequence[jax.Array], train: bool):
+        ks = (3, 3, 3) if self.temporal else (1, 3, 3)
+        pad = (1, 1, 1) if self.temporal else (0, 1, 1)
+        skips = list(skips)
+        out = skips.pop()
+        for i in range(self.num_blocks - 1, -1, -1):
+            ch = min(self.max_features, self.block_expansion * (2**i))
+            out = UpBlock(
+                ch, kernel_size=ks, padding=pad, axis_name=self.axis_name,
+                name=f"up{self.num_blocks - 1 - i}",
+            )(out, train)
+            out = jnp.concatenate([out, skips.pop()], axis=-1)
+        if self.use_last_conv:
+            out = Conv3D(
+                self.out_features,
+                ks,
+                pad,
+                kernel_init=self.final_kernel_init,
+                bias_init=self.final_bias_init,
+                name="final_conv",
+            )(out)
+        return out
+
+
+class Hourglass(nn.Module):
+    """Encoder followed by Decoder (keypoint / dense-motion predictor body)."""
+
+    block_expansion: int
+    out_features: int
+    num_blocks: int = 3
+    max_features: int = 256
+    temporal: bool = False
+    axis_name: Optional[str] = None
+    final_kernel_init: Optional[Any] = None
+    final_bias_init: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        skips = Encoder(
+            self.block_expansion,
+            num_blocks=self.num_blocks,
+            max_features=self.max_features,
+            temporal=self.temporal,
+            axis_name=self.axis_name,
+            name="encoder",
+        )(x, train)
+        return Decoder(
+            self.block_expansion,
+            out_features=self.out_features,
+            num_blocks=self.num_blocks,
+            max_features=self.max_features,
+            temporal=self.temporal,
+            use_last_conv=True,
+            axis_name=self.axis_name,
+            final_kernel_init=self.final_kernel_init,
+            final_bias_init=self.final_bias_init,
+            name="decoder",
+        )(skips, train)
