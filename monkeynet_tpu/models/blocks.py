@@ -204,8 +204,8 @@ class DownBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = Conv3D(self.features, self.kernel_size, self.padding)(x)
-        x = SyncBatchNorm(self.features, axis_name=self.axis_name)(x, train)
+        x = Conv3D(self.features, self.kernel_size, self.padding, name="conv")(x)
+        x = SyncBatchNorm(self.features, axis_name=self.axis_name, name="norm")(x, train)
         x = nn.relu(x)
         return avg_pool_2x2(x)
 
@@ -222,8 +222,8 @@ class UpBlock(nn.Module):
     def __call__(self, x, train: bool):
         H, W = x.shape[-3], x.shape[-2]
         x = resize_nearest(x, (2 * H, 2 * W))
-        x = Conv3D(self.features, self.kernel_size, self.padding)(x)
-        x = SyncBatchNorm(self.features, axis_name=self.axis_name)(x, train)
+        x = Conv3D(self.features, self.kernel_size, self.padding, name="conv")(x)
+        x = SyncBatchNorm(self.features, axis_name=self.axis_name, name="norm")(x, train)
         return nn.relu(x)
 
 
@@ -238,8 +238,11 @@ class SameBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = Conv3D(self.features, self.kernel_size, self.padding, groups=self.groups)(x)
-        x = SyncBatchNorm(self.features, axis_name=self.axis_name)(x, train)
+        x = Conv3D(
+            self.features, self.kernel_size, self.padding, groups=self.groups,
+            name="conv",
+        )(x)
+        x = SyncBatchNorm(self.features, axis_name=self.axis_name, name="norm")(x, train)
         return nn.relu(x)
 
 

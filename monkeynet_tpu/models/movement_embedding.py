@@ -104,7 +104,8 @@ class MovementEmbedding(nn.Module):
         if self.use_deformed_source_image:
             # Rigid per-kp shift of the source: sample at grid + kp_diff.
             grid = make_coordinate_grid((h, w), dtype=source_image.dtype)
-            sample_grid = grid[None, None, :, :, :] + kp_diff[:, :, None, None, :]
+            # (1, 1, 1, h, w, 2) + (B, D, Kb, 1, 1, 2)
+            sample_grid = grid[None, None, None] + kp_diff[:, :, :, None, None, :]
             # (B, D, Kb, h, w, 2) -> fold (D, Kb) into the warp's frame axis.
             sample_grid = sample_grid.reshape(B, D * Kb, h, w, 2)
             src = source_image.transpose(0, 2, 3, 1, 4).reshape(B, h, w, T * C)

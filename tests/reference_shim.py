@@ -26,6 +26,25 @@ def load_reference():
     if not hasattr(torch, "gesv"):
         torch.gesv = lambda b, a: (torch.linalg.solve(a, b), None)
 
+    # torch 0.4.1 grid_sample had align_corners=True semantics; the default
+    # flipped to False in torch 1.3. Pin the original behavior so golden
+    # outputs match what the reference (and its published checkpoints)
+    # actually computed.
+    import torch.nn.functional as F
+
+    if not getattr(F.grid_sample, "_monkeynet_pinned", False):
+        _orig_grid_sample = F.grid_sample
+
+        def _grid_sample_041(input, grid, mode="bilinear", padding_mode="zeros",
+                             align_corners=None):
+            return _orig_grid_sample(
+                input, grid, mode=mode, padding_mode=padding_mode,
+                align_corners=True,
+            )
+
+        _grid_sample_041._monkeynet_pinned = True
+        F.grid_sample = _grid_sample_041
+
     if REFERENCE_PATH not in sys.path:
         sys.path.insert(0, REFERENCE_PATH)
 
