@@ -1,0 +1,229 @@
+"""Train-time video clip augmentation (host-side, numpy/cv2/PIL).
+
+Capability parity with the reference pipeline (augmentation.py:91-389, itself
+vendored from torch_videovision): frame-pair selection, time/horizontal flip,
+rotation, scale jitter, pad+crop, color jitter, source/driving split. Clips
+are (T, H, W, C) float32 in [0, 1] throughout; channels-last end to end (the
+reference converts to CTHW torch layout — we feed NDHWC straight to device).
+
+Randomness comes from an explicit np.random.Generator so the pipeline is
+seedable per-worker (the reference leans on the global `random` module).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+def _rng(rng):
+    return rng if rng is not None else np.random.default_rng()
+
+
+class SelectRandomFrames:
+    """Pick `number_of_frames` frames: sorted-with-replacement, or a
+    consecutive window (used by the kp-sequence predictor)."""
+
+    def __init__(self, consequent=False, number_of_frames=2):
+        self.consequent = consequent
+        self.number_of_frames = number_of_frames
+
+    def __call__(self, clip, rng=None):
+        rng = _rng(rng)
+        n = len(clip)
+        k = self.number_of_frames
+        if self.consequent:
+            first = rng.integers(0, max(1, n - k + 1))
+            return clip[first : first + k]
+        idx = np.sort(rng.choice(n, size=k, replace=True))
+        if isinstance(clip, np.ndarray):
+            return clip[idx]
+        return [clip[i] for i in idx]
+
+
+class RandomFlip:
+    def __init__(self, time_flip=False, horizontal_flip=False):
+        self.time_flip = time_flip
+        self.horizontal_flip = horizontal_flip
+
+    def __call__(self, clip, rng=None):
+        rng = _rng(rng)
+        if self.time_flip and rng.random() < 0.5:
+            return clip[::-1]
+        if self.horizontal_flip and rng.random() < 0.5:
+            return clip[:, :, ::-1]
+        return clip
+
+
+class RandomRotation:
+    """Rotate the whole clip by one random angle (bilinear, keep shape)."""
+
+    def __init__(self, degrees):
+        if isinstance(degrees, (int, float)):
+            degrees = (-degrees, degrees)
+        self.degrees = tuple(degrees)
+
+    def __call__(self, clip, rng=None):
+        rng = _rng(rng)
+        angle = rng.uniform(*self.degrees)
+        from scipy.ndimage import rotate
+
+        return np.stack(
+            [
+                rotate(img, angle, axes=(1, 0), reshape=False, order=1,
+                       mode="constant", cval=0.0)
+                for img in clip
+            ]
+        )
+
+
+class RandomResize:
+    """Scale the clip by a random factor drawn from `ratio`."""
+
+    def __init__(self, ratio=(3.0 / 4.0, 4.0 / 3.0), interpolation="nearest"):
+        self.ratio = tuple(ratio)
+        self.interpolation = interpolation
+
+    def __call__(self, clip, rng=None):
+        rng = _rng(rng)
+        scale = rng.uniform(*self.ratio)
+        h, w = clip[0].shape[:2]
+        new_h, new_w = int(h * scale), int(w * scale)
+        import cv2
+
+        interp = (
+            cv2.INTER_NEAREST if self.interpolation == "nearest" else cv2.INTER_LINEAR
+        )
+        return np.stack(
+            [cv2.resize(img, (new_w, new_h), interpolation=interp) for img in clip]
+        )
+
+
+class RandomCrop:
+    """Edge-pad to at least `size`, then crop the same random window from
+    every frame."""
+
+    def __init__(self, size):
+        if isinstance(size, (int, float)):
+            size = (size, size)
+        self.size = tuple(size)
+
+    def __call__(self, clip, rng=None):
+        rng = _rng(rng)
+        h, w = self.size
+        clip = np.asarray(clip)
+        im_h, im_w = clip.shape[1:3]
+        pad_h = max(0, h - im_h)
+        pad_w = max(0, w - im_w)
+        if pad_h or pad_w:
+            clip = np.pad(
+                clip,
+                (
+                    (0, 0),
+                    (pad_h // 2, (pad_h + 1) // 2),
+                    (pad_w // 2, (pad_w + 1) // 2),
+                    (0, 0),
+                ),
+                mode="edge",
+            )
+            im_h, im_w = clip.shape[1:3]
+        y = 0 if im_h == h else int(rng.integers(0, im_h - h + 1))
+        x = 0 if im_w == w else int(rng.integers(0, im_w - w + 1))
+        return clip[:, y : y + h, x : x + w]
+
+
+class ColorJitter:
+    """Random brightness / contrast / saturation / hue, one draw per clip,
+    applied in shuffled order (PIL-backed like the reference's ndarray path)."""
+
+    def __init__(self, brightness=0, contrast=0, saturation=0, hue=0):
+        self.brightness = brightness
+        self.contrast = contrast
+        self.saturation = saturation
+        self.hue = hue
+
+    def _factors(self, rng):
+        def around_one(amount):
+            return rng.uniform(max(0.0, 1.0 - amount), 1.0 + amount) if amount > 0 else None
+
+        hue = rng.uniform(-self.hue, self.hue) if self.hue > 0 else None
+        return around_one(self.brightness), around_one(self.contrast), around_one(self.saturation), hue
+
+    def __call__(self, clip, rng=None):
+        rng = _rng(rng)
+        bright, contrast, sat, hue = self._factors(rng)
+        from PIL import Image, ImageEnhance
+
+        ops = []
+        if bright is not None:
+            ops.append(lambda im: ImageEnhance.Brightness(im).enhance(bright))
+        if sat is not None:
+            ops.append(lambda im: ImageEnhance.Color(im).enhance(sat))
+        if hue is not None:
+
+            def shift_hue(im):
+                hsv = np.array(im.convert("HSV"), dtype=np.int16)
+                hsv[..., 0] = (hsv[..., 0] + int(hue * 255)) % 256
+                return Image.fromarray(hsv.astype(np.uint8), "HSV").convert("RGB")
+
+            ops.append(shift_hue)
+        if contrast is not None:
+            ops.append(lambda im: ImageEnhance.Contrast(im).enhance(contrast))
+        order = rng.permutation(len(ops))
+
+        out = []
+        for img in clip:
+            im = Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8))
+            for i in order:
+                im = ops[i](im)
+            out.append(np.asarray(im, dtype=np.float32) / 255.0)
+        return np.stack(out)
+
+
+class SplitSourceDriving:
+    """Frame 0 -> 'source' (1, H, W, C); the rest -> 'video' (T-1, H, W, C)."""
+
+    def __call__(self, video, rng=None):
+        video = np.asarray(video, dtype=np.float32)
+        return {"source": video[:1], "video": video[1:]}
+
+
+class VideoToTensor:
+    """Whole clip as float32 (T, H, W, C) under key 'video'."""
+
+    def __call__(self, video, rng=None):
+        return {"video": np.ascontiguousarray(np.asarray(video, dtype=np.float32))}
+
+
+class AllAugmentationTransform:
+    """Select -> flip -> rotate -> resize -> crop -> jitter -> split
+    (pipeline order per reference augmentation.py:363-389)."""
+
+    def __init__(
+        self,
+        resize_param=None,
+        rotation_param=None,
+        flip_param=None,
+        crop_param=None,
+        jitter_param=None,
+        select_param=None,
+    ):
+        self.transforms = [SelectRandomFrames(**(select_param or {}))]
+        if flip_param is not None:
+            self.transforms.append(RandomFlip(**flip_param))
+        if rotation_param is not None:
+            self.transforms.append(RandomRotation(**rotation_param))
+        if resize_param is not None:
+            self.transforms.append(RandomResize(**resize_param))
+        if crop_param is not None:
+            self.transforms.append(RandomCrop(**crop_param))
+        if jitter_param is not None:
+            self.transforms.append(ColorJitter(**jitter_param))
+        self.transforms.append(SplitSourceDriving())
+
+    def __call__(self, clip, rng=None):
+        rng = _rng(rng)
+        for t in self.transforms:
+            clip = t(clip, rng=rng)
+        return clip

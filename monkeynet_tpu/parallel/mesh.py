@@ -1,0 +1,65 @@
+"""Data-parallel training over a 1-D device mesh.
+
+This is the TPU-native replacement for the reference's parallel runtime
+(sync_batchnorm/replicate.py DataParallelWithCallback + thread-rendezvous
+sync-BN): the batch is sharded over the 'data' mesh axis, parameters and
+optimizer states are replicated, gradients are `lax.pmean`'d and BN statistics
+`lax.psum`'d over ICI inside the single compiled train step. XLA schedules
+the collectives; there is no replicate/scatter/gather per call and no master
+device.
+
+The same program runs on a virtual 8-device CPU mesh for tests
+(xla_force_host_platform_device_count) and on a real TPU slice unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from monkeynet_tpu.tasks.train import make_train_step
+
+
+def make_mesh(num_devices: int | None = None, devices=None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.array(devices), ("data",))
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host batch with its leading axis sharded over the data axis."""
+    sharding = NamedSharding(mesh, P("data"))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def make_sharded_train_step(models, train_params, optimizer, num_devices=None,
+                            mesh: Mesh | None = None):
+    """jit(shard_map(train_step)) over a 1-D data mesh.
+
+    Returns fn(state, batch) -> (state, out); state replicated, batch sharded
+    on the leading (batch) axis. Per-sample outputs stay sharded; metrics are
+    pmean'd and come back replicated.
+    """
+    if mesh is None:
+        mesh = make_mesh(num_devices)
+    step = make_train_step(models, train_params, optimizer, axis_name="data")
+
+    out_specs = (
+        P(),  # state: replicated (grads pmean'd, BN stats psum'd)
+        {
+            "metrics": P(),
+            "video_prediction": P("data"),
+            "video_deformed": P("data"),
+            "kp_joined": P("data"),
+        },
+    )
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), P("data")),
+        out_specs=out_specs,
+    )
+    return jax.jit(sharded, donate_argnums=0)

@@ -1,0 +1,207 @@
+"""GAN training: the whole iteration is ONE jitted XLA program.
+
+The reference's per-iteration Python orchestration (train.py:108-143: G
+forward, backward with retain_graph, three optimizer steps staged across two
+backward passes) collapses into a single `train_step` built around one scalar
+objective whose stop_gradient placement reproduces the reference's exact
+gradient routing:
+
+  * generator params   <- dL_G/dG                        (train.py:117-118)
+  * discriminator      <- dL_D/dD   (L_G grads discarded; we never take them
+                          by evaluating L_G's discriminator with
+                          stop_gradient'd D params)       (train.py:131-132)
+  * kp detector        <- dL_G/dKP            if detach_kp_discriminator
+                          d(L_G + L_D)/dKP    otherwise   (train.py:121-136)
+  * detach_kp_generator / detach_kp_discriminator map to stop_gradient on the
+    kp pytree exactly where the reference calls .detach() (train.py:14-21).
+
+BN running stats update once per step from the single KP/G forward, matching
+the torch execution (the discriminator carries no running state).
+
+Data parallelism: `make_train_step(axis_name='data')` emits the same program
+with `lax.pmean` on grads/metrics; BN stats psum over the mesh axis inside
+the layers. Drive it with `jax.shard_map` over a 1-D mesh (see
+monkeynet_tpu/parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from monkeynet_tpu.tasks.losses import (
+    discriminator_loss,
+    discriminator_loss_names,
+    generator_loss,
+    generator_loss_names,
+)
+
+
+def split_kp(kp_joined: Dict, detach: bool) -> Dict[str, Dict]:
+    """Frame 0 of the joined kp batch is the source; the rest drive."""
+    sg = jax.lax.stop_gradient if detach else (lambda v: v)
+    return {
+        "kp_driving": {k: sg(v[:, 1:]) for k, v in kp_joined.items()},
+        "kp_source": {k: sg(v[:, :1]) for k, v in kp_joined.items()},
+    }
+
+
+def multistep_lr(base_lr: float, milestones, steps_per_epoch: int, gamma: float = 0.1):
+    """MultiStepLR: lr = base * gamma^(#milestone-epochs passed)."""
+    milestones = jnp.asarray(sorted(milestones), jnp.int32)
+
+    def schedule(step):
+        epoch = step // steps_per_epoch
+        drops = jnp.sum(epoch >= milestones)
+        return base_lr * (gamma ** drops.astype(jnp.float32))
+
+    return schedule
+
+
+def make_optimizer(lr_schedule):
+    """Adam(betas=(0.5, 0.999)) with the MultiStep schedule, torch-equivalent."""
+    return optax.chain(
+        optax.scale_by_adam(b1=0.5, b2=0.999, eps=1e-8),
+        optax.scale_by_learning_rate(lr_schedule),
+    )
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Dict[str, Any]
+    batch_stats: Dict[str, Any]
+    opt_states: Dict[str, Any]
+
+
+def create_train_state(params, batch_stats, optimizer) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_states={k: optimizer.init(params[k]) for k in params},
+    )
+
+
+def make_train_step(
+    models: Dict[str, Any],
+    train_params: Dict[str, Any],
+    optimizer,
+    axis_name: Optional[str] = None,
+):
+    """Build the fused G+D train step. Returns fn(state, batch) -> (state, metrics).
+
+    batch: {'source': (B, 1, H, W, C), 'video': (B, Dv, H, W, C)}.
+    """
+    generator = models["generator"]
+    discriminator = models["discriminator"]
+    kp_detector = models["kp_detector"]
+    loss_weights = train_params["loss_weights"]
+    detach_kp_gen = train_params["detach_kp_generator"]
+    detach_kp_disc = train_params["detach_kp_discriminator"]
+
+    def gmean(v):
+        """Global-batch mean of a per-sample loss vector.
+
+        With a mesh axis this is pmean of the local mean — making the
+        OBJECTIVE the global mean is what yields exact global-batch gradients
+        under shard_map (jax auto-psums cotangents of replicated params, so
+        no separate gradient all-reduce is needed or wanted)."""
+        m = v.mean()
+        if axis_name is not None:
+            m = jax.lax.pmean(m, axis_name)
+        return m
+
+    def loss_fn(params, batch_stats, batch):
+        source, video = batch["source"], batch["video"]
+
+        kp_joined, kp_mut = kp_detector.apply(
+            {"params": params["kp_detector"], "batch_stats": batch_stats["kp_detector"]},
+            jnp.concatenate([source, video], axis=1),
+            True,
+            mutable=["batch_stats"],
+        )
+
+        generated, gen_mut = generator.apply(
+            {"params": params["generator"], "batch_stats": batch_stats["generator"]},
+            source,
+            **split_kp(kp_joined, detach_kp_gen),
+            train=True,
+            mutable=["batch_stats"],
+        )
+
+        # ---- generator objective: D evaluated with frozen D params, so L_G
+        # contributes no discriminator gradients (torch discards them,
+        # train.py:119-120).
+        kp_nodetach = split_kp(kp_joined, False)
+        d_params_sg = jax.lax.stop_gradient(params["discriminator"])
+        maps_fake = discriminator.apply(
+            {"params": d_params_sg}, generated["video_prediction"], **kp_nodetach
+        )
+        maps_real = discriminator.apply({"params": d_params_sg}, video, **kp_nodetach)
+        gen_losses = generator_loss(
+            maps_fake, maps_real, generated["video_deformed"], loss_weights
+        )
+        loss_g = sum(gmean(l) for l in gen_losses)
+
+        # ---- discriminator objective on detached fakes (train.py:70).
+        kp_disc = split_kp(kp_joined, detach_kp_disc)
+        fake_sg = jax.lax.stop_gradient(generated["video_prediction"])
+        maps_fake_d = discriminator.apply(
+            {"params": params["discriminator"]}, fake_sg, **kp_disc
+        )
+        maps_real_d = discriminator.apply(
+            {"params": params["discriminator"]}, video, **kp_disc
+        )
+        disc_losses = discriminator_loss(maps_fake_d, maps_real_d, loss_weights)
+        loss_d = sum(gmean(l) for l in disc_losses)
+
+        new_stats = {
+            "generator": gen_mut["batch_stats"],
+            "kp_detector": kp_mut["batch_stats"],
+        }
+        metrics = jnp.stack(
+            [gmean(l) for l in gen_losses] + [gmean(l) for l in disc_losses]
+        )
+        aux = (new_stats, metrics, generated, kp_joined)
+        return loss_g + loss_d, aux
+
+    def train_step(state: TrainState, batch):
+        grads, (new_stats, metrics, generated, kp_joined) = jax.grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, batch)
+        # No explicit gradient all-reduce: the objective is already the
+        # global-batch mean (gmean), and shard_map's transpose psums the
+        # cotangents of the replicated params.
+
+        new_params = dict(state.params)
+        new_opt = dict(state.opt_states)
+        for name in ("generator", "discriminator", "kp_detector"):
+            updates, new_opt[name] = optimizer.update(
+                grads[name], state.opt_states[name], state.params[name]
+            )
+            new_params[name] = optax.apply_updates(state.params[name], updates)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_states=new_opt,
+        )
+        out = {
+            "metrics": metrics,
+            "video_prediction": generated["video_prediction"],
+            "video_deformed": generated["video_deformed"],
+            "kp_joined": kp_joined,
+        }
+        return new_state, out
+
+    return train_step
+
+
+def metric_names(train_params) -> list:
+    return generator_loss_names(train_params["loss_weights"]) + discriminator_loss_names()

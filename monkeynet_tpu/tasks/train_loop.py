@@ -1,0 +1,136 @@
+"""Top-level training driver: data in, jitted GAN step, logging, checkpoints.
+
+Mirrors the reference train() capabilities (train.py:78-155): three Adam
+optimizers (shared MultiStep schedule), resume-from-checkpoint, per-iteration
+logging with running means, train-vis gifs, epoch checkpoints. The whole
+optimization step — both GAN sides and all three updates — is one compiled
+XLA program (see tasks/train.py), and batches stream through a threaded
+double-buffered loader.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from monkeynet_tpu.data.loader import DataLoader
+from monkeynet_tpu.tasks.build import init_models
+from monkeynet_tpu.tasks.train import (
+    TrainState,
+    create_train_state,
+    make_optimizer,
+    make_train_step,
+    metric_names,
+    multistep_lr,
+)
+from monkeynet_tpu.utils.checkpoint import load_any
+from monkeynet_tpu.utils.logger import Logger
+
+
+def train(config, log_dir, dataset, checkpoint=None, seed=0, num_devices=1):
+    train_params = config["train_params"]
+    image_shape = tuple(config["dataset_params"].get("image_shape", (64, 64, 3)))
+
+    loader = DataLoader(
+        dataset,
+        batch_size=train_params["batch_size"],
+        shuffle=True,
+        drop_last=True,
+        num_workers=4,
+        seed=seed,
+    )
+    steps_per_epoch = max(1, len(loader))
+
+    axis_name = "data" if num_devices > 1 else None
+    models, params, batch_stats = init_models(
+        config, jax.random.PRNGKey(seed), image_shape, axis_name=axis_name
+    )
+
+    lr = multistep_lr(
+        train_params["lr"], train_params["epoch_milestones"], steps_per_epoch
+    )
+    optimizer = make_optimizer(lr)
+    state = create_train_state(params, batch_stats, optimizer)
+
+    start_epoch, it = 0, 0
+    if checkpoint is not None:
+        templates = {
+            name: {"params": params[name], **(
+                {"batch_stats": batch_stats[name]} if name in batch_stats else {}
+            )}
+            for name in params
+        }
+        loaded = load_any(checkpoint, templates)
+        if "state" in loaded:  # our own full checkpoint
+            state = restore_train_state(state, loaded["state"])
+        else:  # torch checkpoint: params + stats only
+            new_params = dict(state.params)
+            new_stats = dict(state.batch_stats)
+            for name, variables in loaded.items():
+                if not isinstance(variables, dict):
+                    continue
+                new_params[name] = variables["params"]
+                if "batch_stats" in variables:
+                    new_stats[name] = variables["batch_stats"]
+            state = state.replace(params=new_params, batch_stats=new_stats)
+        start_epoch = int(loaded.get("epoch", 0))
+        it = int(loaded.get("it", 0))
+        state = state.replace(step=jnp.asarray(it, jnp.int32))
+
+    if num_devices > 1:
+        from monkeynet_tpu.parallel.mesh import make_sharded_train_step
+
+        step_fn = make_sharded_train_step(
+            models, train_params, optimizer, num_devices
+        )
+    else:
+        step_fn = jax.jit(
+            make_train_step(models, train_params, optimizer, axis_name=None),
+            donate_argnums=0,
+        )
+
+    names = metric_names(train_params)
+    log_params = dict(train_params.get("log_params", {}))
+    with Logger(
+        log_dir=log_dir,
+        visualizer_params=config.get("visualizer_params"),
+        **log_params,
+    ) as logger:
+        for epoch in range(start_epoch, train_params["num_epochs"]):
+            for batch in loader:
+                x = {
+                    "source": jnp.asarray(batch["source"]),
+                    "video": jnp.asarray(batch["video"]),
+                }
+                state, out = step_fn(state, x)
+
+                if it % logger.log_freq == 0:
+                    # Materialize visuals only on log steps.
+                    from monkeynet_tpu.tasks.train import split_kp
+
+                    kp_parts = split_kp(
+                        jax.tree.map(np.asarray, out["kp_joined"]), False
+                    )
+                    vis_out = {
+                        "video_prediction": np.asarray(out["video_prediction"]),
+                        "video_deformed": np.asarray(out["video_deformed"]),
+                        **kp_parts,
+                    }
+                    logger.log_iter(
+                        it, names, np.asarray(out["metrics"]), batch, vis_out
+                    )
+                else:
+                    logger.log_iter(it, names, np.asarray(out["metrics"]))
+                it += 1
+
+            logger.log_epoch(epoch, {"state": jax.tree.map(np.asarray, state)})
+    return state
+
+
+def restore_train_state(template: TrainState, loaded) -> TrainState:
+    """Restore a TrainState from its serialized (nested-dict) form."""
+    from flax import serialization
+
+    return serialization.from_state_dict(template, loaded)

@@ -1,0 +1,107 @@
+"""Training logger: running-mean loss lines, train-vis gifs, checkpoints.
+
+Capability parity with the reference Logger (logger.py:11-88): `log.txt`
+lines with a zero-filled iteration counter and named running-mean losses every
+`log_freq_iter`, train-vis reconstruction gifs, checkpoint files every
+`cpk_freq_epoch` epochs and on exit. Adds per-step wall-clock timing (the
+reference had no profiling hooks at all).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from monkeynet_tpu.data.io import write_gif
+from monkeynet_tpu.utils.checkpoint import save_checkpoint
+from monkeynet_tpu.utils.visualizer import Visualizer
+
+
+class Logger:
+    def __init__(
+        self,
+        log_dir: str,
+        log_file_name: str = "log.txt",
+        log_freq_iter: int = 100,
+        cpk_freq_epoch: int = 100,
+        zfill_num: int = 8,
+        visualizer_params: Optional[dict] = None,
+    ):
+        self.loss_list: List[np.ndarray] = []
+        self.cpk_dir = log_dir
+        self.visualizations_dir = os.path.join(log_dir, "train-vis")
+        os.makedirs(self.visualizations_dir, exist_ok=True)
+        self.log_file = open(os.path.join(log_dir, log_file_name), "a")
+        self.log_freq = log_freq_iter
+        self.cpk_freq = cpk_freq_epoch
+        self.zfill_num = zfill_num
+        self.visualizer = Visualizer(**(visualizer_params or {}))
+        self.epoch = 0
+        self.it = 0
+        self.payload = None
+        self._t_last = time.time()
+        self._steps_since_log = 0
+
+    # ---------------------------------------------------------------- scores
+    def log_scores(self, loss_names):
+        loss_mean = np.array(self.loss_list).mean(axis=0)
+        elapsed = time.time() - self._t_last
+        sps = self._steps_since_log / elapsed if elapsed > 0 else float("nan")
+        parts = "; ".join(
+            f"{name} - {value:.5f}" for name, value in zip(loss_names, loss_mean)
+        )
+        line = f"{str(self.it).zfill(self.zfill_num)}) {parts}; steps/s - {sps:.3f}"
+        print(line, file=self.log_file)
+        self.log_file.flush()
+        self.loss_list = []
+        self._t_last = time.time()
+        self._steps_since_log = 0
+
+    def visualize_rec(self, inp, out):
+        image = self.visualizer.visualize_reconstruction(inp, out)
+        write_gif(
+            os.path.join(
+                self.visualizations_dir,
+                f"{str(self.it).zfill(self.zfill_num)}-rec.gif",
+            ),
+            image,
+        )
+
+    # ----------------------------------------------------------- checkpoints
+    def save_cpk(self):
+        if self.payload is None:
+            return
+        payload = dict(self.payload)
+        payload["epoch"] = self.epoch
+        payload["it"] = self.it
+        path = os.path.join(
+            self.cpk_dir, f"{str(self.epoch).zfill(self.zfill_num)}-checkpoint.msgpack"
+        )
+        save_checkpoint(path, payload)
+
+    # -------------------------------------------------------------- protocol
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc_val, exc_tb):
+        if self.payload is not None:
+            self.save_cpk()
+        self.log_file.close()
+
+    def log_iter(self, it: int, names, values, inp=None, out=None):
+        self.it = it
+        self._steps_since_log += 1
+        self.loss_list.append(np.asarray(values))
+        if it % self.log_freq == 0:
+            self.log_scores(names)
+            if inp is not None and out is not None:
+                self.visualize_rec(inp, out)
+
+    def log_epoch(self, epoch: int, payload: Dict):
+        self.epoch = epoch
+        self.payload = payload
+        if epoch % self.cpk_freq == 0:
+            self.save_cpk()
