@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Single-pair motion-transfer demo (reference: demo.py:23-71).
+
+    python demo.py --config configs/moving-gif.yaml --checkpoint <ckpt> \
+        --driving_video data/driving.png --source_image data/source.png
+
+Reads a driving "video" (stacked-frame PNG or gif/mp4) and a source image,
+runs relative-keypoint transfer, writes an animated gif.
+"""
+
+from __future__ import annotations
+
+from argparse import ArgumentParser
+
+
+def main():
+    parser = ArgumentParser(description=__doc__)
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--checkpoint", required=True)
+    parser.add_argument("--out_file", default="demo.gif")
+    parser.add_argument("--driving_video", required=True)
+    parser.add_argument("--source_image", required=True)
+    parser.add_argument(
+        "--image_shape",
+        default=(128, 128),
+        type=lambda x: tuple(int(a) for a in x.split(",")),
+    )
+    parser.add_argument("--platform", default=None)
+    opt = parser.parse_args()
+
+    from monkeynet_tpu.utils.jax_setup import setup_jax
+
+    setup_jax(opt.platform)
+
+    from monkeynet_tpu.data.io import read_video, write_gif
+    from monkeynet_tpu.tasks.animate import Animator, KPExtractor
+    from monkeynet_tpu.tasks.reconstruction import load_eval_models
+    from monkeynet_tpu.tasks.transfer import transfer_one
+    from monkeynet_tpu.utils.config import load_config
+
+    config = load_config(opt.config)
+    shape = opt.image_shape + (3,)
+
+    driving = read_video(opt.driving_video, shape)[None]  # (1, D, H, W, C)
+    source = read_video(opt.source_image, shape)[None, :1]
+
+    models, gen_vars, kp_vars = load_eval_models(config, opt.checkpoint, shape)
+    animate = Animator(models["generator"], gen_vars)
+    extract_kp = KPExtractor(models["kp_detector"], kp_vars)
+
+    out = transfer_one(
+        animate, extract_kp, source, driving, config["transfer_params"]
+    )
+    write_gif(opt.out_file, out["video_prediction"][0])
+    print(f"wrote {opt.out_file}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""Frame-batched inference: whole videos through one compiled program.
+
+The reference animates frame-by-frame in a Python loop (reconstruction.py:
+12-25, transfer.py:72-74) — one tiny GPU launch per frame. Every frame is
+independent given its keypoints, so here the generator consumes ALL driving
+keypoints at once (the frame axis folds into the conv batch) and long videos
+are processed in fixed-size chunks so XLA compiles exactly one program per
+(chunk, resolution) instead of one per video length.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _pad_kp(kp: Dict, total: int) -> Dict:
+    """Pad the frame axis to `total` by repeating the last frame."""
+    d = kp["mean"].shape[1]
+    if d == total:
+        return kp
+    reps = total - d
+    return {
+        k: jnp.concatenate([v, jnp.repeat(v[:, -1:], reps, axis=1)], axis=1)
+        for k, v in kp.items()
+    }
+
+
+class Animator:
+    """generator.apply over fixed-size kp chunks, jit-cached."""
+
+    def __init__(self, generator, variables, chunk: int = 32):
+        self.generator = generator
+        self.variables = variables
+        self.chunk = chunk
+
+        @jax.jit
+        def _run(variables, source, kp_driving, kp_source):
+            return generator.apply(
+                variables, source, kp_driving, kp_source, train=False
+            )
+
+        self._run = _run
+
+    def __call__(self, source, kp_driving, kp_source) -> Dict[str, np.ndarray]:
+        """source (B,1,H,W,C); kp_driving (B,D,...); returns numpy videos."""
+        d = kp_driving["mean"].shape[1]
+        chunk = self.chunk
+        outs = {"video_prediction": [], "video_deformed": []}
+        for start in range(0, d, chunk):
+            part = {k: v[:, start : start + chunk] for k, v in kp_driving.items()}
+            n_valid = part["mean"].shape[1]
+            part = _pad_kp(part, chunk if d > chunk else n_valid)
+            out = self._run(self.variables, source, part, kp_source)
+            for k in outs:
+                outs[k].append(np.asarray(out[k])[:, :n_valid])
+        return {k: np.concatenate(v, axis=1) for k, v in outs.items()}
+
+
+class KPExtractor:
+    """kp detector over fixed-size frame chunks, jit-cached."""
+
+    def __init__(self, kp_detector, variables, chunk: int = 32):
+        self.kp_detector = kp_detector
+        self.variables = variables
+        self.chunk = chunk
+
+        @jax.jit
+        def _run(variables, frames):
+            return kp_detector.apply(variables, frames, False)
+
+        self._run = _run
+
+    def __call__(self, video) -> Dict[str, np.ndarray]:
+        """video (B, D, H, W, C) -> kp dict with numpy (B, D, K, ...)."""
+        video = jnp.asarray(video)
+        d = video.shape[1]
+        chunk = self.chunk
+        outs = []
+        for start in range(0, d, chunk):
+            part = video[:, start : start + chunk]
+            n_valid = part.shape[1]
+            if d > chunk and n_valid < chunk:
+                part = jnp.concatenate(
+                    [part, jnp.repeat(part[:, -1:], chunk - n_valid, axis=1)], axis=1
+                )
+            kp = self._run(self.variables, part)
+            outs.append({k: np.asarray(v)[:, :n_valid] for k, v in kp.items()})
+        return {k: np.concatenate([o[k] for o in outs], axis=1) for k in outs[0]}

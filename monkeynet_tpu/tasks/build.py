@@ -43,11 +43,17 @@ def init_models(config: dict, rng: jax.Array, image_shape, axis_name=None):
         kp["var"] = jnp.full((1, 1, K, 1, 1), 0.1, jnp.float32)
 
     # Init in eval mode: identical variable structure, and the cross-replica
-    # psum in train-mode BN must not trace outside the mesh.
+    # psum in train-mode BN must not trace outside the mesh. The inits are
+    # jitted — eager init dispatches thousands of tiny ops, which is painfully
+    # slow through a remote-device tunnel.
     rng_g, rng_d, rng_k = jax.random.split(rng, 3)
-    kp_vars = kp_detector.init(rng_k, video, False)
-    gen_vars = generator.init(rng_g, source, kp, kp, False)
-    disc_vars = discriminator.init(rng_d, video, kp, kp)
+    kp_vars = jax.jit(lambda r, v: kp_detector.init(r, v, False))(rng_k, video)
+    gen_vars = jax.jit(lambda r, s, k: generator.init(r, s, k, k, False))(
+        rng_g, source, kp
+    )
+    disc_vars = jax.jit(lambda r, v, k: discriminator.init(r, v, k, k))(
+        rng_d, video, kp
+    )
 
     params = {
         "generator": gen_vars["params"],

@@ -1,0 +1,105 @@
+"""Reconstruction (self-reenactment) evaluation.
+
+Capability parity with the reference driver (reconstruction.py:28-77): frame 0
+of each test video is the appearance source, per-frame keypoints drive the
+generator, outputs are saved as lossless stacked PNG + gif grids, and the mean
+per-frame L1 against ground truth is printed (the quality north-star metric).
+
+TPU-first: keypoints for all frames and the full animation run as chunked
+batched XLA programs (tasks/animate.py) instead of per-frame Python loops.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from monkeynet_tpu.data.io import write_gif, write_stacked_png
+from monkeynet_tpu.tasks.animate import Animator, KPExtractor
+from monkeynet_tpu.tasks.build import init_models
+from monkeynet_tpu.utils.checkpoint import load_any
+from monkeynet_tpu.utils.visualizer import Visualizer
+
+
+def load_eval_models(config, checkpoint, image_shape):
+    """Build models and restore generator/kp_detector weights from either a
+    monkeynet msgpack checkpoint or a reference torch .pth.tar."""
+    import jax
+
+    models, params, batch_stats = init_models(
+        config, jax.random.PRNGKey(0), image_shape
+    )
+    templates = {
+        "generator": {"params": params["generator"],
+                      "batch_stats": batch_stats["generator"]},
+        "kp_detector": {"params": params["kp_detector"],
+                        "batch_stats": batch_stats["kp_detector"]},
+    }
+    loaded = load_any(checkpoint, templates)
+    if "state" in loaded:  # our full train checkpoint
+        st = loaded["state"]
+        gen_vars = {
+            "params": st["params"]["generator"],
+            "batch_stats": st["batch_stats"]["generator"],
+        }
+        kp_vars = {
+            "params": st["params"]["kp_detector"],
+            "batch_stats": st["batch_stats"]["kp_detector"],
+        }
+    else:
+        gen_vars = loaded["generator"]
+        kp_vars = loaded["kp_detector"]
+    gen_vars = jax.tree.map(jnp.asarray, gen_vars)
+    kp_vars = jax.tree.map(jnp.asarray, kp_vars)
+    return models, gen_vars, kp_vars
+
+
+def reconstruction(config, log_dir, dataset, checkpoint):
+    if checkpoint is None:
+        raise ValueError("checkpoint is required for reconstruction mode")
+    log_dir = os.path.join(log_dir, "reconstruction")
+    png_dir = os.path.join(log_dir, "png")
+    os.makedirs(png_dir, exist_ok=True)
+
+    image_shape = tuple(config["dataset_params"].get("image_shape", (64, 64, 3)))
+    models, gen_vars, kp_vars = load_eval_models(config, checkpoint, image_shape)
+    animate = Animator(models["generator"], gen_vars)
+    extract_kp = KPExtractor(models["kp_detector"], kp_vars)
+    visualizer = Visualizer(**(config.get("visualizer_params") or {}))
+
+    num_videos = config["reconstruction_params"]["num_videos"]
+    fmt = config["reconstruction_params"].get("format", ".gif")
+
+    loss_list = []
+    for it in range(len(dataset)):
+        # reference stops AFTER processing index == num_videos
+        if num_videos is not None and it > num_videos:
+            break
+        x = dataset[it]
+        video = x["video"][None]  # (1, D, H, W, C)
+        kp_video = extract_kp(video)
+        kp_appearance = {k: v[:, :1] for k, v in kp_video.items()}
+        source = video[:, :1]
+
+        out = animate(
+            jnp.asarray(source),
+            {k: jnp.asarray(v) for k, v in kp_video.items()},
+            {k: jnp.asarray(v) for k, v in kp_appearance.items()},
+        )
+        out["kp_driving"] = kp_video
+        out["kp_source"] = kp_appearance
+
+        write_stacked_png(
+            os.path.join(png_dir, x["name"] + ".png"), out["video_prediction"][0]
+        )
+        grid = visualizer.visualize_reconstruction(
+            {"source": source, "video": video}, out
+        )
+        write_gif(os.path.join(log_dir, x["name"] + fmt), grid)
+
+        loss_list.append(float(np.abs(out["video_prediction"] - video).mean()))
+
+    print("Reconstruction loss: %s" % np.mean(loss_list))
+    return float(np.mean(loss_list))

@@ -125,7 +125,18 @@ def train(config, log_dir, dataset, checkpoint=None, seed=0, num_devices=1):
                     logger.log_iter(it, names, np.asarray(out["metrics"]))
                 it += 1
 
-            logger.log_epoch(epoch, {"state": jax.tree.map(np.asarray, state)})
+            from flax import serialization
+
+            logger.log_epoch(
+                epoch,
+                {
+                    "state": serialization.to_state_dict(
+                        jax.tree.map(np.asarray, state)
+                    ),
+                    "epoch": epoch,
+                    "it": it,
+                },
+            )
     return state
 
 

@@ -1,0 +1,123 @@
+"""Motion transfer: animate a source identity with a driving video's motion.
+
+Capability parity with the reference driver (transfer.py:31-123): keypoint
+normalization (relative movement, convex-hull scale adaptation, mean clipping,
+covariance adaptation with eigendecomposition symmetrization), paired dataset
+sweep, stacked PNG + comparison-grid gif outputs.
+
+The normalization runs on host numpy — it is a per-video O(K) computation
+that would serialize the device (the reference also drops to CPU numpy for
+ConvexHull/eig, transfer.py:17-36); the animation itself is frame-batched XLA.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+import numpy as np
+import jax.numpy as jnp
+
+from monkeynet_tpu.data.dataset import PairedDataset
+from monkeynet_tpu.data.io import write_gif, write_stacked_png
+from monkeynet_tpu.tasks.animate import Animator, KPExtractor
+from monkeynet_tpu.tasks.reconstruction import load_eval_models
+from monkeynet_tpu.utils.visualizer import Visualizer
+
+
+def make_symmetric_psd(mats: np.ndarray) -> np.ndarray:
+    """Symmetrize and clamp eigenvalues to > 0 (reference transfer.py:17-28)."""
+    sym = (mats + np.swapaxes(mats, -1, -2)) / 2
+    d, u = np.linalg.eig(sym)
+    d = np.where(d <= 0, 1e-6, d)
+    d_matrix = np.zeros_like(mats)
+    d_matrix[..., 0, 0] = d[..., 0]
+    d_matrix[..., 1, 1] = d[..., 1]
+    return (u @ d_matrix @ np.swapaxes(u, -1, -2)).astype(mats.dtype)
+
+
+def normalize_kp(
+    kp_video: Dict[str, np.ndarray],
+    kp_appearance: Dict[str, np.ndarray],
+    movement_mult: bool = False,
+    move_location: bool = False,
+    adapt_variance: bool = False,
+    clip_mean: bool = False,
+) -> Dict[str, np.ndarray]:
+    """Adapt driving keypoints to the source identity (reference
+    transfer.py:31-62). All inputs/outputs numpy; kp mean (1, D, K, 2)."""
+    if movement_mult:
+        from scipy.spatial import ConvexHull
+
+        appearance_area = ConvexHull(kp_appearance["mean"][0, 0]).volume
+        video_area = ConvexHull(kp_video["mean"][0, 0]).volume
+        mult = np.sqrt(appearance_area) / np.sqrt(video_area)
+    else:
+        mult = 1.0
+
+    kp_video = {k: np.array(v) for k, v in kp_video.items()}
+
+    if move_location:
+        diff = (kp_video["mean"] - kp_video["mean"][:, 0:1]) * mult
+        kp_video["mean"] = diff + kp_appearance["mean"]
+
+    if clip_mean:
+        kp_video["mean"] = np.clip(kp_video["mean"], -1.0, 1.0)
+
+    if "var" in kp_video and adapt_variance:
+        # var_t <- var_t * var_0^{-1} * var_appearance, then re-symmetrized PSD
+        inv_first = np.linalg.inv(kp_video["var"][:, 0:1])
+        var = kp_video["var"] @ inv_first @ kp_appearance["var"]
+        kp_video["var"] = make_symmetric_psd(var)
+
+    return kp_video
+
+
+def transfer_one(animate, extract_kp, source_image, driving_video, transfer_params):
+    """source_image (1,1,H,W,C), driving_video (1,D,H,W,C) numpy."""
+    kp_driving = extract_kp(driving_video)
+    kp_source = extract_kp(source_image)
+    kp_norm = normalize_kp(
+        kp_driving, kp_source, **transfer_params["normalization_params"]
+    )
+    out = animate(
+        jnp.asarray(source_image),
+        {k: jnp.asarray(v) for k, v in kp_norm.items()},
+        {k: jnp.asarray(v) for k, v in kp_source.items()},
+    )
+    out["kp_driving"] = kp_driving
+    out["kp_source"] = kp_source
+    out["kp_norm"] = kp_norm
+    return out
+
+
+def transfer(config, log_dir, dataset, checkpoint):
+    if checkpoint is None:
+        raise ValueError("checkpoint is required for transfer mode")
+    log_dir = os.path.join(log_dir, "transfer")
+    png_dir = os.path.join(log_dir, "png")
+    os.makedirs(png_dir, exist_ok=True)
+
+    transfer_params = config["transfer_params"]
+    pairs = PairedDataset(dataset, transfer_params["num_pairs"])
+
+    image_shape = tuple(config["dataset_params"].get("image_shape", (64, 64, 3)))
+    models, gen_vars, kp_vars = load_eval_models(config, checkpoint, image_shape)
+    animate = Animator(models["generator"], gen_vars)
+    extract_kp = KPExtractor(models["kp_detector"], kp_vars)
+    visualizer = Visualizer(**(config.get("visualizer_params") or {}))
+    fmt = transfer_params.get("format", ".gif")
+
+    for it in range(len(pairs)):
+        x = pairs[it]
+        driving_video = x["driving_video"][None]
+        source_image = x["source_video"][None, :1]
+        out = transfer_one(
+            animate, extract_kp, source_image, driving_video, transfer_params
+        )
+        name = "-".join([x["driving_name"], x["source_name"]])
+        write_stacked_png(
+            os.path.join(png_dir, name + ".png"), out["video_prediction"][0]
+        )
+        grid = visualizer.visualize_transfer(driving_video, source_image, out)
+        write_gif(os.path.join(log_dir, name + fmt), grid)

@@ -1,0 +1,145 @@
+"""End-to-end smoke: synthetic stacked-frame dataset -> train -> checkpoint ->
+reconstruction + transfer + prediction on CPU. Hermetic (no reference data)."""
+
+import copy
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from .test_train import TINY_CONFIG
+
+
+@pytest.fixture(scope="module")
+def synth_dataset(tmp_path_factory):
+    """Tiny moving-square videos in the stacked-frame PNG format."""
+    import imageio.v2 as imageio
+
+    root = tmp_path_factory.mktemp("shapes")
+    (root / "train").mkdir()
+    (root / "test").mkdir()
+    rng = np.random.RandomState(0)
+    T, H, W = 4, 16, 16
+    for split, n in (("train", 6), ("test", 2)):
+        for i in range(n):
+            video = np.zeros((T, H, W, 3), np.float32)
+            x0, y0 = rng.randint(2, 8, size=2)
+            color = rng.rand(3) * 0.7 + 0.3
+            for t in range(T):
+                x, y = x0 + t, y0 + t
+                video[t, y : y + 4, x : x + 4] = color
+            stacked = np.concatenate(list(video), axis=1)
+            imageio.imsave(
+                str(root / split / f"{split}{i:02d}.png"),
+                (stacked * 255).astype(np.uint8),
+            )
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def e2e_config(synth_dataset):
+    config = copy.deepcopy(TINY_CONFIG)
+    config["dataset_params"] = {
+        "root_dir": synth_dataset,
+        "image_shape": [16, 16, 3],
+        "augmentation_params": {
+            "flip_param": {"time_flip": True, "horizontal_flip": True},
+            "crop_param": {"size": [16, 16]},
+        },
+    }
+    config["train_params"].update(num_epochs=2, batch_size=2)
+    config["train_params"]["log_params"] = {"log_freq_iter": 2, "cpk_freq_epoch": 1}
+    config["reconstruction_params"] = {"num_videos": 1, "format": ".gif"}
+    config["transfer_params"] = {
+        "num_pairs": 2,
+        "format": ".gif",
+        "normalization_params": {
+            "movement_mult": True,
+            "move_location": True,
+            "adapt_variance": True,
+            "clip_mean": True,
+        },
+    }
+    config["prediction_params"] = {
+        "rnn_params": {"num_features": 16, "num_layers": 1, "dropout": 0},
+        "predict_variance": True,
+        "num_epochs": 2,
+        "lr": 0.001,
+        "batch_size": 4,
+        "num_frames": 3,
+        "init_frames": 1,
+        "train_size": 4,
+        "format": ".gif",
+    }
+    config["visualizer_params"] = {"kp_size": 2, "draw_border": True}
+    return config
+
+
+@pytest.fixture(scope="module")
+def trained(e2e_config, synth_dataset, tmp_path_factory):
+    from monkeynet_tpu.data.dataset import FramesDataset
+    from monkeynet_tpu.tasks.train_loop import train
+
+    log_dir = str(tmp_path_factory.mktemp("log"))
+    dataset = FramesDataset(is_train=True, **e2e_config["dataset_params"])
+    train(e2e_config, log_dir, dataset, checkpoint=None, num_devices=1)
+    cpks = sorted(glob.glob(os.path.join(log_dir, "*-checkpoint.msgpack")))
+    assert cpks, "no checkpoint written"
+    assert os.path.exists(os.path.join(log_dir, "log.txt"))
+    assert glob.glob(os.path.join(log_dir, "train-vis", "*.gif"))
+    return log_dir, cpks[-1]
+
+
+def test_train_writes_logs_and_checkpoints(trained):
+    log_dir, cpk = trained
+    with open(os.path.join(log_dir, "log.txt")) as f:
+        lines = f.read().strip().splitlines()
+    assert lines and "gen_gan" in lines[0] and "disc_gan" in lines[0]
+
+
+def test_reconstruction_mode(trained, e2e_config):
+    from monkeynet_tpu.data.dataset import FramesDataset
+    from monkeynet_tpu.tasks.reconstruction import reconstruction
+
+    log_dir, cpk = trained
+    dataset = FramesDataset(is_train=False, **e2e_config["dataset_params"])
+    loss = reconstruction(e2e_config, log_dir, dataset, cpk)
+    assert np.isfinite(loss) and 0 <= loss < 1
+    assert glob.glob(os.path.join(log_dir, "reconstruction", "png", "*.png"))
+    assert glob.glob(os.path.join(log_dir, "reconstruction", "*.gif"))
+
+
+def test_transfer_mode(trained, e2e_config):
+    from monkeynet_tpu.data.dataset import FramesDataset
+    from monkeynet_tpu.tasks.transfer import transfer
+
+    log_dir, cpk = trained
+    dataset = FramesDataset(is_train=False, **e2e_config["dataset_params"])
+    transfer(e2e_config, log_dir, dataset, cpk)
+    assert glob.glob(os.path.join(log_dir, "transfer", "png", "*.png"))
+    assert glob.glob(os.path.join(log_dir, "transfer", "*.gif"))
+
+
+def test_prediction_mode(trained, e2e_config):
+    from monkeynet_tpu.tasks.prediction import prediction
+
+    log_dir, cpk = trained
+    prediction(e2e_config, log_dir, cpk)
+    assert glob.glob(os.path.join(log_dir, "prediction", "png", "*.png"))
+    assert glob.glob(os.path.join(log_dir, "prediction", "*.gif"))
+
+
+def test_resume_from_checkpoint(trained, e2e_config, synth_dataset, tmp_path_factory):
+    """Resuming restores epoch/step and continues without error."""
+    import copy as _copy
+
+    from monkeynet_tpu.data.dataset import FramesDataset
+    from monkeynet_tpu.tasks.train_loop import train
+
+    log_dir, cpk = trained
+    config = _copy.deepcopy(e2e_config)
+    config["train_params"]["num_epochs"] = 3  # one more epoch than trained
+    dataset = FramesDataset(is_train=True, **config["dataset_params"])
+    state = train(config, log_dir, dataset, checkpoint=cpk, num_devices=1)
+    assert int(state.step) > 0
