@@ -1,0 +1,143 @@
+"""Data pipeline tests: video IO round-trip, augmentation shapes/invariants,
+loader batching, paired dataset."""
+
+import os
+
+import numpy as np
+import pytest
+
+from monkeynet_tpu.data.augmentation import (
+    AllAugmentationTransform,
+    ColorJitter,
+    RandomCrop,
+    RandomFlip,
+    RandomResize,
+    RandomRotation,
+    SelectRandomFrames,
+    SplitSourceDriving,
+    VideoToTensor,
+)
+from monkeynet_tpu.data.dataset import FramesDataset, PairedDataset
+from monkeynet_tpu.data.io import read_video, write_gif, write_stacked_png
+from monkeynet_tpu.data.loader import DataLoader, collate
+
+
+def _video(T=5, H=8, W=8, seed=0):
+    return np.random.RandomState(seed).rand(T, H, W, 3).astype(np.float32)
+
+
+def test_stacked_png_roundtrip(tmp_path):
+    video = _video()
+    path = str(tmp_path / "v.png")
+    write_stacked_png(path, video)
+    back = read_video(path, image_shape=(8, 8, 3))
+    assert back.shape == video.shape
+    np.testing.assert_allclose(back, video, atol=1 / 255 + 1e-6)
+
+
+def test_gif_roundtrip(tmp_path):
+    video = (_video() > 0.5).astype(np.float32)  # binary-ish survives palette
+    path = str(tmp_path / "v.gif")
+    write_gif(path, video)
+    back = read_video(path)
+    assert back.shape[0] == video.shape[0]
+    assert back.shape[1:3] == video.shape[1:3]
+
+
+def test_select_random_frames():
+    rng = np.random.default_rng(0)
+    video = _video(T=10)
+    out = SelectRandomFrames()(video, rng=rng)
+    assert out.shape[0] == 2
+    out = SelectRandomFrames(consequent=True, number_of_frames=4)(video, rng=rng)
+    assert out.shape[0] == 4
+
+
+def test_flip_rotation_resize_crop_jitter_shapes():
+    rng = np.random.default_rng(0)
+    video = _video(T=3, H=12, W=12)
+    assert RandomFlip(True, True)(video, rng=rng).shape == video.shape
+    assert RandomRotation((-10, 10))(video, rng=rng).shape == video.shape
+    out = RandomResize((0.5, 0.5))(video, rng=rng)
+    assert out.shape == (3, 6, 6, 3)
+    out = RandomCrop((8, 8))(out, rng=rng)  # pads 6->8 then crops
+    assert out.shape == (3, 8, 8, 3)
+    out = ColorJitter(brightness=0.2, contrast=0.2, saturation=0.2, hue=0.3)(
+        video, rng=rng
+    )
+    assert out.shape == video.shape
+    assert out.min() >= 0 and out.max() <= 1
+
+
+def test_full_pipeline_split():
+    rng = np.random.default_rng(0)
+    pipeline = AllAugmentationTransform(
+        flip_param={"time_flip": True, "horizontal_flip": True},
+        crop_param={"size": [8, 8]},
+    )
+    out = pipeline(_video(T=6), rng=rng)
+    assert out["source"].shape == (1, 8, 8, 3)
+    assert out["video"].shape == (1, 8, 8, 3)
+    assert out["source"].dtype == np.float32
+
+
+def _make_dataset(tmp_path, n_train=5, n_test=3, T=4):
+    for split, n in (("train", n_train), ("test", n_test)):
+        os.makedirs(tmp_path / split, exist_ok=True)
+        for i in range(n):
+            write_stacked_png(
+                str(tmp_path / split / f"{i:03d}.png"), _video(T=T, seed=i)
+            )
+    return str(tmp_path)
+
+
+def test_frames_dataset_and_loader(tmp_path):
+    root = _make_dataset(tmp_path)
+    ds = FramesDataset(
+        root_dir=root,
+        image_shape=(8, 8, 3),
+        is_train=True,
+        augmentation_params={"flip_param": {"time_flip": True, "horizontal_flip": True}},
+    )
+    assert len(ds) == 5
+    item = ds[0]
+    assert item["source"].shape == (1, 8, 8, 3)
+    assert "name" in item
+
+    loader = DataLoader(ds, batch_size=2, shuffle=True, drop_last=True, seed=1)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[0]["source"].shape == (2, 1, 8, 8, 3)
+    assert isinstance(batches[0]["name"], list)
+
+
+def test_paired_dataset_random_and_csv(tmp_path):
+    root = _make_dataset(tmp_path)
+    ds = FramesDataset(root_dir=root, image_shape=(8, 8, 3), is_train=False)
+    pairs = PairedDataset(ds, number_of_pairs=4)
+    assert len(pairs) == 4
+    item = pairs[0]
+    assert "driving_video" in item and "source_video" in item
+
+    # CSV pairs list
+    csv = tmp_path / "pairs.csv"
+    csv.write_text("source,driving\n000.png,001.png\n001.png,002.png\n")
+    ds2 = FramesDataset(
+        root_dir=root, image_shape=(8, 8, 3), is_train=False, pairs_list=str(csv)
+    )
+    pairs2 = PairedDataset(ds2, number_of_pairs=10)
+    assert len(pairs2) == 2
+    item = pairs2[0]
+    assert item["driving_name"] == "001.png"
+    assert item["source_name"] == "000.png"
+
+
+def test_loader_deterministic_with_seed(tmp_path):
+    root = _make_dataset(tmp_path)
+    ds = FramesDataset(
+        root_dir=root, image_shape=(8, 8, 3), is_train=True,
+        augmentation_params={"flip_param": {"time_flip": True, "horizontal_flip": True}},
+    )
+    a = next(iter(DataLoader(ds, batch_size=2, seed=7)))
+    b = next(iter(DataLoader(ds, batch_size=2, seed=7)))
+    np.testing.assert_array_equal(a["video"], b["video"])
