@@ -57,13 +57,10 @@ def main():
     driving = jnp.asarray(rng.rand(1, N_FRAMES, H, W, 3).astype(np.float32))
 
     def one_pass():
-        kp_driving = extract_kp(driving)
+        kp_driving = extract_kp.device_call(driving)
         kp_source = {k: v[:, :1] for k, v in kp_driving.items()}
-        out = animate(
-            source,
-            {k: jnp.asarray(v) for k, v in kp_driving.items()},
-            {k: jnp.asarray(v) for k, v in kp_source.items()},
-        )
+        out = animate.device_call(source, kp_driving, kp_source)
+        jax.block_until_ready(out["video_prediction"])
         return out["video_prediction"]
 
     one_pass()  # warmup + compile

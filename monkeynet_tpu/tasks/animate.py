@@ -6,11 +6,14 @@ independent given its keypoints, so here the generator consumes ALL driving
 keypoints at once (the frame axis folds into the conv batch) and long videos
 are processed in fixed-size chunks so XLA compiles exactly one program per
 (chunk, resolution) instead of one per video length.
+
+All chunk outputs stay ON DEVICE and are concatenated there; callers pull the
+result across the host boundary once per video (device->host roundtrips cost
+~0.5s each on tunneled TPU backends, so per-chunk fetches would dominate).
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict
 
 import numpy as np
@@ -32,7 +35,7 @@ def _pad_kp(kp: Dict, total: int) -> Dict:
 
 
 class Animator:
-    """generator.apply over fixed-size kp chunks, jit-cached."""
+    """generator.apply over fixed-size kp chunks, jit-cached, device-resident."""
 
     def __init__(self, generator, variables, chunk: int = 32):
         self.generator = generator
@@ -48,7 +51,14 @@ class Animator:
         self._run = _run
 
     def __call__(self, source, kp_driving, kp_source) -> Dict[str, np.ndarray]:
-        """source (B,1,H,W,C); kp_driving (B,D,...); returns numpy videos."""
+        """source (B,1,H,W,C); kp_driving (B,D,...); returns numpy videos
+        {'video_prediction', 'video_deformed'} (one host fetch per key)."""
+        out = self.device_call(source, kp_driving, kp_source)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def device_call(self, source, kp_driving, kp_source) -> Dict[str, jax.Array]:
+        kp_driving = {k: jnp.asarray(v) for k, v in kp_driving.items()}
+        kp_source = {k: jnp.asarray(v) for k, v in kp_source.items()}
         d = kp_driving["mean"].shape[1]
         chunk = self.chunk
         outs = {"video_prediction": [], "video_deformed": []}
@@ -58,12 +68,14 @@ class Animator:
             part = _pad_kp(part, chunk if d > chunk else n_valid)
             out = self._run(self.variables, source, part, kp_source)
             for k in outs:
-                outs[k].append(np.asarray(out[k])[:, :n_valid])
-        return {k: np.concatenate(v, axis=1) for k, v in outs.items()}
+                outs[k].append(out[k][:, :n_valid])
+        if len(outs["video_prediction"]) == 1:
+            return {k: v[0] for k, v in outs.items()}
+        return {k: jnp.concatenate(v, axis=1) for k, v in outs.items()}
 
 
 class KPExtractor:
-    """kp detector over fixed-size frame chunks, jit-cached."""
+    """kp detector over fixed-size frame chunks, jit-cached, device-resident."""
 
     def __init__(self, kp_detector, variables, chunk: int = 32):
         self.kp_detector = kp_detector
@@ -78,6 +90,9 @@ class KPExtractor:
 
     def __call__(self, video) -> Dict[str, np.ndarray]:
         """video (B, D, H, W, C) -> kp dict with numpy (B, D, K, ...)."""
+        return {k: np.asarray(v) for k, v in self.device_call(video).items()}
+
+    def device_call(self, video) -> Dict[str, jax.Array]:
         video = jnp.asarray(video)
         d = video.shape[1]
         chunk = self.chunk
@@ -90,5 +105,7 @@ class KPExtractor:
                     [part, jnp.repeat(part[:, -1:], chunk - n_valid, axis=1)], axis=1
                 )
             kp = self._run(self.variables, part)
-            outs.append({k: np.asarray(v)[:, :n_valid] for k, v in kp.items()})
-        return {k: np.concatenate([o[k] for o in outs], axis=1) for k in outs[0]}
+            outs.append({k: v[:, :n_valid] for k, v in kp.items()})
+        if len(outs) == 1:
+            return outs[0]
+        return {k: jnp.concatenate([o[k] for o in outs], axis=1) for k in outs[0]}

@@ -26,4 +26,16 @@ def setup_jax(platform: str | None = None, cache_dir: str | None = None):
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass  # cache is an optimization, never a hard failure
+
+    # Pay the first device->host transfer stall now: on tunneled TPU
+    # backends the first fetch of a process can block for minutes while the
+    # reverse channel comes up. One tiny warmup fetch makes every later
+    # fetch predictable.
+    try:
+        import numpy as _np
+        import jax.numpy as _jnp
+
+        _np.asarray(_jnp.zeros((1,)))
+    except Exception:
+        pass
     return jax
