@@ -64,6 +64,37 @@ def mat2_inverse(m, eps: float = 0.0):
     return jnp.stack([row0, row1], axis=-2) * inv_det[..., None, None]
 
 
+def sobel_image_gradient(image, padding="VALID"):
+    """Sobel x/y gradients of (B, H, W, C) images, channels stacked on the
+    channel axis: out (B, H', W', 2C) = [grad_x | grad_y].
+
+    Capability parity with the reference's compute_image_gradient
+    (modules/util.py:10-23) in channels-last layout; expressed as one
+    depthwise conv so XLA keeps it fused.
+    """
+    import jax
+
+    B, H, W, C = image.shape
+    sobel_x = jnp.array(
+        [[1.0, 0.0, -1.0], [2.0, 0.0, -2.0], [1.0, 0.0, -1.0]], image.dtype
+    )
+    sobel_y = sobel_x.T
+    # depthwise kernel (3, 3, 1, 2C): each input-channel group -> (gx, gy)
+    kernel = jnp.stack([sobel_x, sobel_y], axis=-1)[:, :, None, :]
+    kernel = jnp.tile(kernel, (1, 1, 1, C))  # feature_group_count = C
+    out = jax.lax.conv_general_dilated(
+        image,
+        kernel,
+        window_strides=(1, 1),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=C,
+    )
+    # interleaved (gx_c0, gy_c0, gx_c1, ...) -> [all gx | all gy]
+    out = out.reshape(B, out.shape[1], out.shape[2], C, 2)
+    return jnp.concatenate([out[..., 0], out[..., 1]], axis=-1)
+
+
 def mat2_smallest_singular(m):
     """Smallest singular value of a batch of 2x2 matrices, closed form.
 

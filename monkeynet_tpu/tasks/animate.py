@@ -34,19 +34,39 @@ def _pad_kp(kp: Dict, total: int) -> Dict:
     }
 
 
-class Animator:
-    """generator.apply over fixed-size kp chunks, jit-cached, device-resident."""
+def _cast_floats(tree, dtype):
+    return jax.tree.map(
+        lambda a: a.astype(dtype)
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+        else a,
+        tree,
+    )
 
-    def __init__(self, generator, variables, chunk: int = 32):
+
+class Animator:
+    """generator.apply over fixed-size kp chunks, jit-cached, device-resident.
+
+    dtype=jnp.bfloat16 runs the conv/warp path in bf16 on the MXU (params and
+    activations cast inside the program; outputs returned float32). BN eval
+    statistics stay float32 internally.
+    """
+
+    def __init__(self, generator, variables, chunk: int = 32, dtype=None):
         self.generator = generator
         self.variables = variables
         self.chunk = chunk
 
         @jax.jit
         def _run(variables, source, kp_driving, kp_source):
-            return generator.apply(
+            if dtype is not None:
+                variables = _cast_floats(variables, dtype)
+                source = source.astype(dtype)
+                kp_driving = _cast_floats(kp_driving, dtype)
+                kp_source = _cast_floats(kp_source, dtype)
+            out = generator.apply(
                 variables, source, kp_driving, kp_source, train=False
             )
+            return _cast_floats(out, jnp.float32) if dtype is not None else out
 
         self._run = _run
 
@@ -77,14 +97,18 @@ class Animator:
 class KPExtractor:
     """kp detector over fixed-size frame chunks, jit-cached, device-resident."""
 
-    def __init__(self, kp_detector, variables, chunk: int = 32):
+    def __init__(self, kp_detector, variables, chunk: int = 32, dtype=None):
         self.kp_detector = kp_detector
         self.variables = variables
         self.chunk = chunk
 
         @jax.jit
         def _run(variables, frames):
-            return kp_detector.apply(variables, frames, False)
+            if dtype is not None:
+                variables = _cast_floats(variables, dtype)
+                frames = frames.astype(dtype)
+            kp = kp_detector.apply(variables, frames, False)
+            return _cast_floats(kp, jnp.float32) if dtype is not None else kp
 
         self._run = _run
 

@@ -29,7 +29,8 @@ from monkeynet_tpu.utils.checkpoint import load_any
 from monkeynet_tpu.utils.logger import Logger
 
 
-def train(config, log_dir, dataset, checkpoint=None, seed=0, num_devices=1):
+def train(config, log_dir, dataset, checkpoint=None, seed=0, num_devices=1,
+          profile_dir=None):
     train_params = config["train_params"]
     image_shape = tuple(config["dataset_params"].get("image_shape", (64, 64, 3)))
 
@@ -98,13 +99,20 @@ def train(config, log_dir, dataset, checkpoint=None, seed=0, num_devices=1):
         visualizer_params=config.get("visualizer_params"),
         **log_params,
     ) as logger:
+        profile_span = (10, 20) if profile_dir else None
         for epoch in range(start_epoch, train_params["num_epochs"]):
             for batch in loader:
+                if profile_span and it == profile_span[0]:
+                    jax.profiler.start_trace(profile_dir)
                 x = {
                     "source": jnp.asarray(batch["source"]),
                     "video": jnp.asarray(batch["video"]),
                 }
                 state, out = step_fn(state, x)
+                if profile_span and it == profile_span[1]:
+                    jax.block_until_ready(out["metrics"])
+                    jax.profiler.stop_trace()
+                    profile_span = None
 
                 if it % logger.log_freq == 0:
                     # Materialize visuals only on log steps.

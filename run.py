@@ -40,6 +40,12 @@ def main():
         "--platform", default=None, help="force a jax platform (cpu/tpu)"
     )
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--profile",
+        default=None,
+        metavar="DIR",
+        help="capture a jax.profiler trace of train steps 10-20 into DIR",
+    )
     parser.add_argument("--verbose", action="store_true", help="print models")
     opt = parser.parse_args()
 
@@ -74,6 +80,7 @@ def main():
             checkpoint=opt.checkpoint,
             seed=opt.seed,
             num_devices=opt.num_devices,
+            profile_dir=opt.profile,
         )
     elif opt.mode == "reconstruction":
         print("Reconstruction...")

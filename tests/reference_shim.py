@@ -45,6 +45,54 @@ def load_reference():
         _grid_sample_041._monkeynet_pinned = True
         F.grid_sample = _grid_sample_041
 
+    # skimage is not installed; the reference's eval drivers import it at
+    # module scope (frames_dataset.py:2, logger.py:6). Stub just enough for
+    # imports to succeed — tests only use the pure-torch functions.
+    if "skimage" not in sys.modules:
+        import types
+
+        import numpy as _np
+
+        skimage = types.ModuleType("skimage")
+        skimage.io = types.ModuleType("skimage.io")
+        skimage.img_as_float32 = lambda x: _np.asarray(x, dtype=_np.float32)
+        skimage.img_as_ubyte = lambda x: (_np.asarray(x) * 255).astype(_np.uint8)
+        skimage.img_as_float = lambda x: _np.asarray(x, dtype=_np.float64)
+        color = types.ModuleType("skimage.color")
+        color.gray2rgb = lambda x: _np.repeat(_np.asarray(x)[..., None], 3, -1)
+        transform = types.ModuleType("skimage.transform")
+        transform.resize = None
+        transform.rotate = None
+        util = types.ModuleType("skimage.util")
+        util.pad = _np.pad
+        draw = types.ModuleType("skimage.draw")
+        draw.circle = None
+        skimage.color, skimage.transform, skimage.util, skimage.draw = (
+            color, transform, util, draw,
+        )
+        for name, mod in {
+            "skimage": skimage,
+            "skimage.io": skimage.io,
+            "skimage.color": color,
+            "skimage.transform": transform,
+            "skimage.util": util,
+            "skimage.draw": draw,
+        }.items():
+            sys.modules[name] = mod
+
+    if "torchvision" not in sys.modules:
+        import types
+
+        tv = types.ModuleType("torchvision")
+        tv.transforms = types.ModuleType("torchvision.transforms")
+        tv.transforms.functional = types.ModuleType(
+            "torchvision.transforms.functional"
+        )
+        tv.transforms.ToPILImage = object
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tv.transforms
+        sys.modules["torchvision.transforms.functional"] = tv.transforms.functional
+
     if REFERENCE_PATH not in sys.path:
         sys.path.insert(0, REFERENCE_PATH)
 
