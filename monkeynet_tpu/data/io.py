@@ -30,11 +30,22 @@ def _ensure_rgb(img: np.ndarray) -> np.ndarray:
 
 
 def read_video(name: str, image_shape=(64, 64, 3)) -> np.ndarray:
-    """Decode a video file to (T, H, W, 3) float32 in [0, 1]."""
+    """Decode a video file to (T, H, W, 3) float32 in [0, 1].
+
+    Stacked-frame PNG/JPG goes through the native C++ decoder
+    (native/monkeynet_io.cpp) when built — libpng/libjpeg straight to float32
+    with no Python imaging stack in the training hot path — and falls back to
+    imageio otherwise.
+    """
     import imageio.v2 as imageio
 
     lower = name.lower()
     if lower.endswith((".png", ".jpg", ".jpeg")):
+        from monkeynet_tpu.data import native
+
+        decoded = native.read_stacked(name, image_shape[0], image_shape[1])
+        if decoded is not None:
+            return decoded
         image = _ensure_rgb(np.asarray(imageio.imread(name)))
         image = _to_float32(image)
         h, w = image_shape[0], image_shape[1]

@@ -51,7 +51,7 @@ class Animator:
     statistics stay float32 internally.
     """
 
-    def __init__(self, generator, variables, chunk: int = 32, dtype=None):
+    def __init__(self, generator, variables, chunk: int = 128, dtype=None):
         self.generator = generator
         self.variables = variables
         self.chunk = chunk
@@ -97,7 +97,7 @@ class Animator:
 class KPExtractor:
     """kp detector over fixed-size frame chunks, jit-cached, device-resident."""
 
-    def __init__(self, kp_detector, variables, chunk: int = 32, dtype=None):
+    def __init__(self, kp_detector, variables, chunk: int = 128, dtype=None):
         self.kp_detector = kp_detector
         self.variables = variables
         self.chunk = chunk
