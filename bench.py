@@ -38,7 +38,7 @@ def main():
     jax = setup_jax()
     import jax.numpy as jnp
 
-    from monkeynet_tpu.tasks.animate import Animator, KPExtractor
+    from monkeynet_tpu.tasks.animate import TransferEngine
     from monkeynet_tpu.tasks.build import init_models
     from monkeynet_tpu.utils.config import load_config
 
@@ -50,10 +50,16 @@ def main():
         "batch_stats": batch_stats["kp_detector"],
     }
     # bf16 compute: measured output delta vs f32 is mean L1 4e-4 / max 4e-3
-    # on [0,1] images — below 8-bit quantization.
-    animate = Animator(models["generator"], gen_vars, chunk=CHUNK, dtype=jnp.bfloat16)
-    extract_kp = KPExtractor(
-        models["kp_detector"], kp_vars, chunk=CHUNK, dtype=jnp.bfloat16
+    # on [0,1] images — below 8-bit quantization. TransferEngine fuses kp
+    # detection + normalization + generation into one program per chunk.
+    engine = TransferEngine(
+        models["generator"],
+        models["kp_detector"],
+        gen_vars,
+        kp_vars,
+        chunk=CHUNK,
+        dtype=jnp.bfloat16,
+        move_location=True,
     )
 
     rng = np.random.RandomState(0)
@@ -61,9 +67,7 @@ def main():
     driving = jnp.asarray(rng.rand(1, N_FRAMES, H, W, 3).astype(np.float32))
 
     def one_pass():
-        kp_driving = extract_kp.device_call(driving)
-        kp_source = {k: v[:, :1] for k, v in kp_driving.items()}
-        out = animate.device_call(source, kp_driving, kp_source)
+        out = engine(source, driving)
         jax.block_until_ready(out["video_prediction"])
         return out["video_prediction"]
 

@@ -94,6 +94,118 @@ class Animator:
         return {k: jnp.concatenate(v, axis=1) for k, v in outs.items()}
 
 
+class TransferEngine:
+    """Whole transfer pipeline — driving-kp detection, relative-move keypoint
+    normalization, and generation — as ONE compiled program per frame chunk.
+
+    Collapses the per-video dispatch count to ceil(D/chunk): on remote/tunneled
+    TPU backends each dispatch costs tens of ms of latency, so fusing the
+    kp-detector and generator programs nearly halves wall-clock vs running
+    them as separate chunked programs.
+
+    Covers the default normalization recipe (move_location / clip_mean, which
+    are pure tensor ops — reference transfer.py:42-50). Convex-hull scale
+    adaptation and covariance eigendecomposition are host-side math; use
+    tasks/transfer.transfer_one for configs that enable them.
+    """
+
+    def __init__(self, generator, kp_detector, gen_vars, kp_vars,
+                 chunk: int = 128, dtype=None, move_location: bool = True,
+                 clip_mean: bool = False):
+        self.chunk = chunk
+        self.gen_vars = gen_vars
+        self.kp_vars = kp_vars
+
+        def _normalize(kp_chunk, kp_first, kp_source):
+            if not move_location:
+                return kp_chunk
+            out = dict(kp_chunk)
+            out["mean"] = kp_chunk["mean"] - kp_first["mean"] + kp_source["mean"]
+            if clip_mean:
+                out["mean"] = jnp.clip(out["mean"], -1.0, 1.0)
+            return out
+
+        @jax.jit
+        def _first(gen_vars, kp_vars, source, frames):
+            if dtype is not None:
+                gen_vars = _cast_floats(gen_vars, dtype)
+                kp_vars = _cast_floats(kp_vars, dtype)
+                source = source.astype(dtype)
+                frames = frames.astype(dtype)
+            kp_source = kp_detector.apply(kp_vars, source, False)
+            kp_chunk = kp_detector.apply(kp_vars, frames, False)
+            kp_first = {k: v[:, :1] for k, v in kp_chunk.items()}
+            kp_norm = _normalize(kp_chunk, kp_first, kp_source)
+            out = generator.apply(gen_vars, source, kp_norm, kp_source, train=False)
+            state = (kp_source, kp_first)
+            res = (out, kp_chunk, kp_norm, state)
+            return _cast_floats(res, jnp.float32) if dtype is not None else res
+
+        @jax.jit
+        def _next(gen_vars, kp_vars, source, frames, state):
+            if dtype is not None:
+                gen_vars = _cast_floats(gen_vars, dtype)
+                kp_vars = _cast_floats(kp_vars, dtype)
+                source = source.astype(dtype)
+                frames = frames.astype(dtype)
+                state = _cast_floats(state, dtype)
+            kp_source, kp_first = state
+            kp_chunk = kp_detector.apply(kp_vars, frames, False)
+            kp_norm = _normalize(kp_chunk, kp_first, kp_source)
+            out = generator.apply(gen_vars, source, kp_norm, kp_source, train=False)
+            res = (out, kp_chunk, kp_norm)
+            return _cast_floats(res, jnp.float32) if dtype is not None else res
+
+        self._first = _first
+        self._next = _next
+
+    def __call__(self, source, driving):
+        """source (B,1,H,W,C), driving (B,D,H,W,C) -> dict of device arrays
+        {'video_prediction','video_deformed','kp_driving','kp_source','kp_norm'}."""
+        source = jnp.asarray(source)
+        driving = jnp.asarray(driving)
+        d = driving.shape[1]
+        chunk = self.chunk
+
+        preds, defs, kps, norms = [], [], [], []
+        state = None
+        kp_source = None
+        for start in range(0, d, chunk):
+            frames = driving[:, start : start + chunk]
+            n_valid = frames.shape[1]
+            if d > chunk and n_valid < chunk:
+                frames = jnp.concatenate(
+                    [frames, jnp.repeat(frames[:, -1:], chunk - n_valid, axis=1)],
+                    axis=1,
+                )
+            if state is None:
+                out, kp_chunk, kp_norm, state = self._first(
+                    self.gen_vars, self.kp_vars, source, frames
+                )
+                kp_source = state[0]
+            else:
+                out, kp_chunk, kp_norm = self._next(
+                    self.gen_vars, self.kp_vars, source, frames, state
+                )
+            preds.append(out["video_prediction"][:, :n_valid])
+            defs.append(out["video_deformed"][:, :n_valid])
+            kps.append({k: v[:, :n_valid] for k, v in kp_chunk.items()})
+            norms.append({k: v[:, :n_valid] for k, v in kp_norm.items()})
+
+        cat = (
+            (lambda xs: xs[0])
+            if len(preds) == 1
+            else (lambda xs: jnp.concatenate(xs, axis=1))
+        )
+        return {
+            "video_prediction": cat(preds),
+            "video_deformed": cat(defs),
+            "kp_driving": {k: cat([o[k] for o in kps]) for k in kps[0]},
+            "kp_norm": {k: cat([o[k] for o in norms]) for k in norms[0]},
+            "kp_source": kp_source,
+        }
+
+
 class KPExtractor:
     """kp detector over fixed-size frame chunks, jit-cached, device-resident."""
 

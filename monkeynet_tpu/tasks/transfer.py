@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from monkeynet_tpu.data.dataset import PairedDataset
 from monkeynet_tpu.data.io import write_gif, write_stacked_png
-from monkeynet_tpu.tasks.animate import Animator, KPExtractor
+from monkeynet_tpu.tasks.animate import Animator, KPExtractor, TransferEngine
 from monkeynet_tpu.tasks.reconstruction import load_eval_models
 from monkeynet_tpu.utils.visualizer import Visualizer
 
@@ -103,18 +103,46 @@ def transfer(config, log_dir, dataset, checkpoint):
 
     image_shape = tuple(config["dataset_params"].get("image_shape", (64, 64, 3)))
     models, gen_vars, kp_vars = load_eval_models(config, checkpoint, image_shape)
-    animate = Animator(models["generator"], gen_vars)
-    extract_kp = KPExtractor(models["kp_detector"], kp_vars)
     visualizer = Visualizer(**(config.get("visualizer_params") or {}))
     fmt = transfer_params.get("format", ".gif")
+
+    # Fast path: when the normalization recipe is pure tensor math
+    # (move_location / clip_mean), the whole pipeline runs as one fused
+    # program per chunk. Convex-hull / eigendecomposition recipes need host
+    # numpy between kp detection and generation.
+    norm = dict(transfer_params["normalization_params"])
+    device_norm_ok = not norm.get("movement_mult", False) and not norm.get(
+        "adapt_variance", False
+    )
+    if device_norm_ok:
+        engine = TransferEngine(
+            models["generator"],
+            models["kp_detector"],
+            gen_vars,
+            kp_vars,
+            move_location=norm.get("move_location", False),
+            clip_mean=norm.get("clip_mean", False),
+        )
+    else:
+        animate = Animator(models["generator"], gen_vars)
+        extract_kp = KPExtractor(models["kp_detector"], kp_vars)
 
     for it in range(len(pairs)):
         x = pairs[it]
         driving_video = x["driving_video"][None]
         source_image = x["source_video"][None, :1]
-        out = transfer_one(
-            animate, extract_kp, source_image, driving_video, transfer_params
-        )
+        if device_norm_ok:
+            out = engine(source_image, driving_video)
+            out = {
+                k: np.asarray(v)
+                if not isinstance(v, dict)
+                else {kk: np.asarray(vv) for kk, vv in v.items()}
+                for k, v in out.items()
+            }
+        else:
+            out = transfer_one(
+                animate, extract_kp, source_image, driving_video, transfer_params
+            )
         name = "-".join([x["driving_name"], x["source_name"]])
         write_stacked_png(
             os.path.join(png_dir, name + ".png"), out["video_prediction"][0]
