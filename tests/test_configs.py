@@ -1,0 +1,47 @@
+"""All shipped dataset configs must load, validate, and build/init models."""
+
+import glob
+import os
+
+import pytest
+
+import jax
+
+from monkeynet_tpu.tasks.build import build_models, init_models
+from monkeynet_tpu.utils.config import load_config
+
+CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
+ALL_CONFIGS = sorted(glob.glob(os.path.join(CONFIG_DIR, "*.yaml")))
+
+# 256^2 vox inits are too slow for CPU CI; constructor-only for those.
+INIT_SMALL = {"shapes", "actions", "taichi", "nemo", "bair"}
+
+
+@pytest.mark.parametrize("path", ALL_CONFIGS, ids=lambda p: os.path.basename(p))
+def test_config_loads_and_builds(path):
+    config = load_config(path)
+    name = os.path.basename(path).replace(".yaml", "")
+    models = build_models(config)
+    assert len(models) == 3
+
+    if name in INIT_SMALL:
+        image_shape = tuple(config["dataset_params"].get("image_shape", (64, 64, 3)))
+        _, params, batch_stats = init_models(
+            config, jax.random.PRNGKey(0), image_shape
+        )
+        assert set(params) == {"generator", "discriminator", "kp_detector"}
+        assert params["generator"] and params["kp_detector"]
+
+
+def test_all_eight_datasets_covered():
+    names = {os.path.basename(p).replace(".yaml", "") for p in ALL_CONFIGS}
+    assert {
+        "shapes",
+        "actions",
+        "taichi",
+        "nemo",
+        "bair",
+        "moving-gif",
+        "vox",
+        "vox-full",
+    } <= names
