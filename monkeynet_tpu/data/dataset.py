@@ -28,10 +28,16 @@ class FramesDataset:
         random_seed: int = 0,
         pairs_list: Optional[str] = None,
         transform=None,
+        cache_videos: bool = False,
     ):
         self.root_dir = root_dir
         self.image_shape = tuple(image_shape)
         self.pairs_list = pairs_list
+        # Optional uint8 RAM cache: on single-core hosts the PNG decode is the
+        # training bottleneck; caching trades ~H*W*3*T bytes per video for
+        # decode-once semantics.
+        self.cache_videos = cache_videos
+        self._cache: dict = {}
 
         images = sorted(os.listdir(root_dir))
         if os.path.exists(os.path.join(root_dir, "train")):
@@ -59,7 +65,12 @@ class FramesDataset:
 
     def __getitem__(self, idx, rng=None):
         name = os.path.join(self.root_dir, self.images[idx])
-        video = read_video(name, image_shape=self.image_shape)
+        if self.cache_videos and idx in self._cache:
+            video = self._cache[idx].astype(np.float32) / 255.0
+        else:
+            video = read_video(name, image_shape=self.image_shape)
+            if self.cache_videos:
+                self._cache[idx] = (video * 255.0 + 0.5).astype(np.uint8)
         try:
             out = self.transform(video, rng=rng)
         except TypeError:

@@ -34,6 +34,12 @@ def train(config, log_dir, dataset, checkpoint=None, seed=0, num_devices=1,
     train_params = config["train_params"]
     image_shape = tuple(config["dataset_params"].get("image_shape", (64, 64, 3)))
 
+    if num_devices > 1 and train_params["batch_size"] % num_devices != 0:
+        raise ValueError(
+            f"batch_size {train_params['batch_size']} must be divisible by "
+            f"num_devices {num_devices} for data-parallel training"
+        )
+
     loader = DataLoader(
         dataset,
         batch_size=train_params["batch_size"],
