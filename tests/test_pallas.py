@@ -45,3 +45,30 @@ def test_warp_gradients_match_reference():
 
     np.testing.assert_allclose(np.asarray(dpl_i), np.asarray(dref_i), atol=1e-4)
     np.testing.assert_allclose(np.asarray(dpl_g), np.asarray(dref_g), atol=1e-3)
+
+
+@pytest.mark.parametrize("variance", ["matrix", "single", 0.01])
+@pytest.mark.parametrize("norm", [None, "sum", 10.0])
+def test_kp2gaussian_pallas_matches_reference(variance, norm):
+    from monkeynet_tpu.ops.gaussian import kp2gaussian
+    from monkeynet_tpu.ops.pallas.heatmap import kp2gaussian_pallas
+
+    rng = np.random.RandomState(0)
+    B, D, K = 2, 3, 4
+    kp = {"mean": jnp.asarray((rng.rand(B, D, K, 2) * 2 - 1).astype(np.float32) * 0.7)}
+    if variance == "matrix":
+        a = rng.randn(B, D, K, 2, 2).astype(np.float32) * 0.05
+        kp["var"] = jnp.asarray(
+            np.matmul(a.transpose(0, 1, 2, 4, 3), a) + 0.02 * np.eye(2, dtype=np.float32)
+        )
+    elif variance == "single":
+        kp["var"] = jnp.asarray(rng.rand(B, D, K, 1, 1).astype(np.float32) * 0.05 + 0.01)
+
+    ref = np.asarray(kp2gaussian(kp, (16, 12), variance))
+    if norm == "sum":
+        ref = ref / ref.sum(axis=(-1, -2), keepdims=True)
+    elif norm is not None:
+        ref = ref / norm
+
+    out = kp2gaussian_pallas(kp, (16, 12), variance, norm_const=norm, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
