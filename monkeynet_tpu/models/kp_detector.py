@@ -47,5 +47,16 @@ class KPDetector(nn.Module):
             name="predictor",
         )(x, train)
 
+        if not train:
+            from monkeynet_tpu.ops import pallas as pallas_pkg
+
+            if pallas_pkg.enabled():
+                # fused softmax + soft-argmax + covariance (forward-only)
+                from monkeynet_tpu.ops.pallas.softargmax import gaussian2kp_pallas
+
+                return gaussian2kp_pallas(
+                    heatmap, self.temperature, self.kp_variance, self.clip_variance
+                )
+
         heatmap = spatial_softmax(heatmap, temperature=self.temperature)
         return gaussian2kp(heatmap, self.kp_variance, self.clip_variance)

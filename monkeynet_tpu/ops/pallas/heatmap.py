@@ -23,23 +23,26 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(mean_ref, var_ref, out_ref, *, H, W, matrix, norm_const):
-    # mean_ref (1, 2); var_ref (1, 3) packed [a, b_plus_c, d] or [v, _, _]
+    # mean_ref (N, 2) and var_ref (N, 3) live in SMEM (scalar access);
+    # var packs [a, b_plus_c, d] (or [v, _, _] for scalar variance).
+    i = pl.program_id(0)
     dtype = out_ref.dtype
-    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
-    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    # Mosaic requires integer iota; cast after (interpret mode allows f32).
+    xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1).astype(jnp.float32)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0).astype(jnp.float32)
     gx = 2.0 * xs / (W - 1) - 1.0
     gy = 2.0 * ys / (H - 1) - 1.0
-    dx = gx - mean_ref[0, 0]
-    dy = gy - mean_ref[0, 1]
+    dx = gx - mean_ref[i, 0]
+    dy = gy - mean_ref[i, 1]
     if matrix:
-        a = var_ref[0, 0]
-        bc = var_ref[0, 1]
-        d = var_ref[0, 2]
+        a = var_ref[i, 0]
+        bc = var_ref[i, 1]
+        d = var_ref[i, 2]
         # bc packs b + c (covariances are symmetric, so b == c == bc/2)
         det = a * d - (bc * 0.5) * (bc * 0.5)
         q = (d * dx * dx - bc * dx * dy + a * dy * dy) / det
     else:
-        q = (dx * dx + dy * dy) / var_ref[0, 0]
+        q = (dx * dx + dy * dy) / var_ref[i, 0]
     heat = jnp.exp(-0.5 * q)
     if norm_const == "sum":
         heat = heat / jnp.sum(heat)
@@ -86,8 +89,8 @@ def kp2gaussian_pallas(
         kernel,
         grid=(N,),
         in_specs=[
-            pl.BlockSpec((1, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, H, W), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),

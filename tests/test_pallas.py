@@ -72,3 +72,26 @@ def test_kp2gaussian_pallas_matches_reference(variance, norm):
 
     out = kp2gaussian_pallas(kp, (16, 12), variance, norm_const=norm, interpret=True)
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
+
+
+@pytest.mark.parametrize("variance,clip", [("matrix", None), ("matrix", 0.05), ("single", None), (0.01, None)])
+def test_gaussian2kp_pallas_matches_reference(variance, clip):
+    from monkeynet_tpu.ops.gaussian import gaussian2kp, spatial_softmax
+    from monkeynet_tpu.ops.pallas.softargmax import gaussian2kp_pallas
+
+    rng = np.random.RandomState(1)
+    B, D, H, W, K = 2, 3, 16, 12, 4
+    logits = jnp.asarray(rng.randn(B, D, H, W, K).astype(np.float32))
+
+    heat = spatial_softmax(logits, temperature=0.1)
+    ref = gaussian2kp(heat, variance, clip)
+    out = gaussian2kp_pallas(logits, 0.1, variance, clip, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(out["mean"]), np.asarray(ref["mean"]), atol=1e-5)
+    if variance in ("matrix", "single"):
+        # clip rescale divides by the smallest singular value, amplifying
+        # float32 noise when it is tiny
+        tol = 2e-2 if clip else 1e-4
+        np.testing.assert_allclose(
+            np.asarray(out["var"]), np.asarray(ref["var"]), atol=1e-4, rtol=tol
+        )
