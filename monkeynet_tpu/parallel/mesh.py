@@ -35,6 +35,38 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
+def make_frame_sharded_animator(generator, variables, mesh: Mesh):
+    """Multi-chip batch-of-frames inference: every frame is independent given
+    its keypoints, so the frame axis shards cleanly over the mesh (SURVEY §5's
+    'sequence' dimension). Params replicate; GSPMD partitions the generator.
+
+    Returns fn(source, kp_driving, kp_source) -> generator outputs with the
+    frame axis sharded over 'data'.
+    """
+    import jax.numpy as jnp
+
+    replicated = NamedSharding(mesh, P())
+    frame_sharded = NamedSharding(mesh, P(None, "data"))
+
+    @jax.jit
+    def run(variables, source, kp_driving, kp_source):
+        return generator.apply(variables, source, kp_driving, kp_source,
+                               train=False)
+
+    def animate(source, kp_driving, kp_source):
+        variables_r = jax.device_put(variables, replicated)
+        source = jax.device_put(jnp.asarray(source), replicated)
+        kp_driving = jax.tree.map(
+            lambda v: jax.device_put(jnp.asarray(v), frame_sharded), kp_driving
+        )
+        kp_source = jax.tree.map(
+            lambda v: jax.device_put(jnp.asarray(v), replicated), kp_source
+        )
+        return run(variables_r, source, kp_driving, kp_source)
+
+    return animate
+
+
 def make_sharded_train_step(models, train_params, optimizer, num_devices=None,
                             mesh: Mesh | None = None):
     """jit(shard_map(train_step)) over a 1-D data mesh.

@@ -17,7 +17,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from monkeynet_tpu.data.io import write_gif, write_stacked_png
-from monkeynet_tpu.tasks.animate import Animator, KPExtractor
+from monkeynet_tpu.tasks.animate import Animator, KPExtractor, TransferEngine
 from monkeynet_tpu.tasks.build import init_models
 from monkeynet_tpu.utils.checkpoint import load_any
 from monkeynet_tpu.utils.visualizer import Visualizer
@@ -65,8 +65,13 @@ def reconstruction(config, log_dir, dataset, checkpoint):
 
     image_shape = tuple(config["dataset_params"].get("image_shape", (64, 64, 3)))
     models, gen_vars, kp_vars = load_eval_models(config, checkpoint, image_shape)
-    animate = Animator(models["generator"], gen_vars)
-    extract_kp = KPExtractor(models["kp_detector"], kp_vars)
+    # Self-reenactment is transfer with identity normalization: frame 0 is the
+    # source, per-frame kp drive unchanged — so the fused engine applies
+    # (kp detect + generate in one program per chunk).
+    engine = TransferEngine(
+        models["generator"], models["kp_detector"], gen_vars, kp_vars,
+        move_location=False,
+    )
     visualizer = Visualizer(**(config.get("visualizer_params") or {}))
 
     num_videos = config["reconstruction_params"]["num_videos"]
@@ -79,17 +84,19 @@ def reconstruction(config, log_dir, dataset, checkpoint):
             break
         x = dataset[it]
         video = x["video"][None]  # (1, D, H, W, C)
-        kp_video = extract_kp(video)
-        kp_appearance = {k: v[:, :1] for k, v in kp_video.items()}
         source = video[:, :1]
 
-        out = animate(
-            jnp.asarray(source),
-            {k: jnp.asarray(v) for k, v in kp_video.items()},
-            {k: jnp.asarray(v) for k, v in kp_appearance.items()},
-        )
-        out["kp_driving"] = kp_video
-        out["kp_source"] = kp_appearance
+        dev_out = engine(jnp.asarray(source), jnp.asarray(video))
+        out = {
+            "video_prediction": np.asarray(dev_out["video_prediction"]),
+            "video_deformed": np.asarray(dev_out["video_deformed"]),
+            "kp_driving": {
+                k: np.asarray(v) for k, v in dev_out["kp_driving"].items()
+            },
+            "kp_source": {
+                k: np.asarray(v) for k, v in dev_out["kp_source"].items()
+            },
+        }
 
         write_stacked_png(
             os.path.join(png_dir, x["name"] + ".png"), out["video_prediction"][0]

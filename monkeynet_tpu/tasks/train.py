@@ -103,6 +103,22 @@ def make_train_step(
     loss_weights = train_params["loss_weights"]
     detach_kp_gen = train_params["detach_kp_generator"]
     detach_kp_disc = train_params["detach_kp_discriminator"]
+    # Optional mixed precision: forward/backward in bf16 with f32 master
+    # weights (grads flow through the cast back to f32); BN statistics are
+    # always computed and stored f32 inside the layer.
+    compute_dtype = train_params.get("compute_dtype")
+    if compute_dtype is not None:
+        compute_dtype = jnp.dtype(compute_dtype)
+
+    def cast_compute(tree):
+        if compute_dtype is None:
+            return tree
+        return jax.tree.map(
+            lambda a: a.astype(compute_dtype)
+            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+            else a,
+            tree,
+        )
 
     def gmean(v):
         """Global-batch mean of a per-sample loss vector.
@@ -111,12 +127,14 @@ def make_train_step(
         OBJECTIVE the global mean is what yields exact global-batch gradients
         under shard_map (jax auto-psums cotangents of replicated params, so
         no separate gradient all-reduce is needed or wanted)."""
-        m = v.mean()
+        m = v.astype(jnp.float32).mean()
         if axis_name is not None:
             m = jax.lax.pmean(m, axis_name)
         return m
 
     def loss_fn(params, batch_stats, batch):
+        params = cast_compute(params)
+        batch = cast_compute(batch)
         source, video = batch["source"], batch["video"]
 
         kp_joined, kp_mut = kp_detector.apply(
