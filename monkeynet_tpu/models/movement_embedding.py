@@ -24,7 +24,7 @@ from flax import linen as nn
 
 from monkeynet_tpu.ops.gaussian import kp2gaussian
 from monkeynet_tpu.ops.grid import make_coordinate_grid
-from monkeynet_tpu.ops.sampling import resize_nearest, warp_video
+from monkeynet_tpu.ops.sampling import resize_nearest, shift_sample
 
 
 class MovementEmbedding(nn.Module):
@@ -102,14 +102,12 @@ class MovementEmbedding(nn.Module):
             parts.append(diff_maps)
 
         if self.use_deformed_source_image:
-            # Rigid per-kp shift of the source: sample at grid + kp_diff.
-            grid = make_coordinate_grid((h, w), dtype=source_image.dtype)
-            # (1, 1, 1, h, w, 2) + (B, D, Kb, 1, 1, 2)
-            sample_grid = grid[None, None, None] + kp_diff[:, :, :, None, None, :]
-            # (B, D, Kb, h, w, 2) -> fold (D, Kb) into the warp's frame axis.
-            sample_grid = sample_grid.reshape(B, D * Kb, h, w, 2)
+            # Rigid per-kp shift of the source. The shift is CONSTANT per
+            # (frame, keypoint), so bilinear sampling separates into two
+            # batched matmuls (ops.sampling.shift_sample) instead of a
+            # per-pixel gather — the single hottest op in the generator.
             src = source_image.transpose(0, 2, 3, 1, 4).reshape(B, h, w, T * C)
-            deformed = warp_video(src, sample_grid)  # (B, D*Kb, h, w, T*C)
+            deformed = shift_sample(src, kp_diff.reshape(B, D * Kb, 2))
             deformed = deformed.reshape(B, D, Kb, h, w, T * C)
             parts.append(jnp.transpose(deformed, (0, 1, 3, 4, 2, 5)))
 

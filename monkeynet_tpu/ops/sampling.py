@@ -17,6 +17,7 @@ The jnp implementations lower to XLA gathers; a fused Pallas gather kernel
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -88,6 +89,47 @@ def warp_video(source, grid):
     B, D, Ho, Wo, _ = grid.shape
     out = grid_sample(source, grid.reshape(B, D * Ho, Wo, 2))
     return out.reshape(B, D, Ho, Wo, -1)
+
+
+def _shift_matrices(offsets, size):
+    """Bilinear 1-D shift operators: offsets (..., N) in pixels ->
+    (..., N, size, size) matrices R with (R @ v)[i] = lerp(v[i+k], v[i+k+1], f)
+    where offset = k + f; out-of-range taps contribute zero (zeros padding)."""
+    k = jnp.floor(offsets)
+    f = (offsets - k)[..., None, None]
+    k = k[..., None, None].astype(jnp.int32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (size, size), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (size, size), 1)
+    src = rows + k  # (..., N, size, size) target source index per output row
+    return (cols == src) * (1.0 - f) + (cols == src + 1) * f
+
+
+def shift_sample(image, shifts):
+    """Sample `image` at constant per-slot translations, MXU-formulated.
+
+    Equivalent to grid_sample(image, coordinate_grid + shift) for a constant
+    shift — the per-keypoint "rigidly shifted source copies" of the movement
+    embedding (reference modules/movement_embedding.py:76-87). A constant
+    translation makes bilinear sampling SEPARABLE, so instead of a per-pixel
+    gather (slow on TPU) it becomes two batched one-hot matmuls.
+
+    Args:
+      image:  (B, H, W, C).
+      shifts: (B, N, 2) xy in normalized [-1, 1] units (align_corners scale).
+
+    Returns:
+      (B, N, H, W, C), zeros padding outside the source.
+    """
+    B, H, W, C = image.shape
+    dtype = image.dtype
+    # normalized shift -> pixel offset of the SOURCE position per output pixel
+    off_x = shifts[..., 0] * 0.5 * (W - 1)
+    off_y = shifts[..., 1] * 0.5 * (H - 1)
+    Ry = _shift_matrices(off_y, H).astype(dtype)  # (B, N, H, H)
+    Rx = _shift_matrices(off_x, W).astype(dtype)  # (B, N, W, W)
+    # columns first: (B, N, W, W) x (B, H, W, C) -> (B, N, H, W, C)
+    tmp = jnp.einsum("bnxX,bhXc->bnhxc", Rx, image)
+    return jnp.einsum("bnyY,bnYxc->bnyxc", Ry, tmp)
 
 
 def resize_nearest(x, out_hw):

@@ -218,3 +218,19 @@ def test_kp_gaussian_roundtrip():
     heat = jnp.transpose(heat, (0, 1, 3, 4, 2))  # (B,D,H,W,K)
     out = gaussian2kp(heat, kp_variance="scalar-none")
     np.testing.assert_allclose(np.asarray(out["mean"]), np.asarray(kp["mean"]), atol=2e-2)
+
+
+def test_shift_sample_matches_grid_sample():
+    from monkeynet_tpu.ops.sampling import shift_sample, warp_video
+    from monkeynet_tpu.ops.grid import make_coordinate_grid
+
+    rng = np.random.RandomState(7)
+    B, H, W, C, N = 2, 9, 11, 4, 5
+    img = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
+    shifts = jnp.asarray((rng.rand(B, N, 2).astype(np.float32) * 2.4) - 1.2)
+
+    grid = make_coordinate_grid((H, W))
+    grids = grid[None, None] + shifts[:, :, None, None, :]
+    ref = warp_video(img, grids)
+    out = shift_sample(img, shifts)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
