@@ -67,12 +67,17 @@ def _build_A(grid_tile, H, W, dtype):
 
 def _fwd_kernel(src_ref, grid_ref, out_ref, *, H, W):
     A = _build_A(grid_ref[0], H, W, src_ref.dtype)  # (TILE, H*W)
-    out_ref[0] = jnp.dot(A, src_ref[0], preferred_element_type=out_ref.dtype)
+    # MXU accumulator must be 32-bit even for bf16 operands.
+    out_ref[0] = jnp.dot(
+        A, src_ref[0], preferred_element_type=jnp.float32
+    ).astype(out_ref.dtype)
 
 
 def _dsrc_kernel(grid_ref, dout_ref, dsrc_ref, *, H, W):
     A = _build_A(grid_ref[0], H, W, dout_ref.dtype)  # (TILE, H*W)
-    contrib = jnp.dot(A.T, dout_ref[0], preferred_element_type=dsrc_ref.dtype)
+    contrib = jnp.dot(
+        A.T, dout_ref[0], preferred_element_type=jnp.float32
+    ).astype(dsrc_ref.dtype)
 
     @pl.when(pl.program_id(1) == 0)
     def _():
@@ -103,7 +108,9 @@ def _dgrid_kernel(src_ref, grid_ref, dout_ref, dgrid_ref, *, H, W):
 
     def corner_vals(xi, yi):
         A = _corner_matrix(xi, yi, ones, H, W, dtype)
-        return jnp.dot(A, src_ref[0], preferred_element_type=dtype)  # (T, C)
+        return jnp.dot(
+            A, src_ref[0], preferred_element_type=jnp.float32
+        ).astype(dtype)  # (T, C)
 
     v00 = corner_vals(x0, y0)
     v10 = corner_vals(x1, y0)
@@ -128,7 +135,16 @@ def _pad_to(n, m):
 
 def grid_sample_pallas(image, grid):
     """Drop-in for ops.sampling.grid_sample: image (B, H, W, C),
-    grid (B, Ho, Wo, 2) -> (B, Ho, Wo, C)."""
+    grid (B, Ho, Wo, 2) -> (B, Ho, Wo, C).
+
+    Computes in float32 internally: sub-pixel sampling coordinates lose
+    precision in bf16, and Mosaic's bf16 lowering of the one-hot matmul is
+    not supported on this toolchain. Output keeps the input dtype.
+    """
+    in_dtype = image.dtype
+    if in_dtype != jnp.float32:
+        image = image.astype(jnp.float32)
+        grid = grid.astype(jnp.float32)
     B, H, W, C = image.shape
     _, Ho, Wo, _ = grid.shape
     N = Ho * Wo
@@ -139,7 +155,7 @@ def grid_sample_pallas(image, grid):
             grid_flat, ((0, 0), (0, Np - N), (0, 0)), constant_values=-2.0
         )
     out = _warp(image.reshape(B, H * W, C), grid_flat, H, W)
-    return out[:, :N].reshape(B, Ho, Wo, C)
+    return out[:, :N].reshape(B, Ho, Wo, C).astype(in_dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))

@@ -79,6 +79,9 @@ def warp_video(source, grid):
     to per-output-frame 2D bilinear sampling of the single source frame
     (reference behavior: modules/generator.py:51-58 with T=1 input).
 
+    With MONKEYNET_PALLAS=1 the sample runs through the Pallas one-hot-matmul
+    gather kernel (ops/pallas/warp.py) instead of the XLA gather.
+
     Args:
       source: (B, H, W, C) the (single) source frame features.
       grid:   (B, D, Ho, Wo, 2) xy sampling grid per output frame.
@@ -86,8 +89,15 @@ def warp_video(source, grid):
     Returns:
       (B, D, Ho, Wo, C)
     """
+    from monkeynet_tpu.ops import pallas as pallas_pkg
+
     B, D, Ho, Wo, _ = grid.shape
-    out = grid_sample(source, grid.reshape(B, D * Ho, Wo, 2))
+    sampler = grid_sample
+    if pallas_pkg.enabled():
+        from monkeynet_tpu.ops.pallas.warp import grid_sample_pallas
+
+        sampler = grid_sample_pallas
+    out = sampler(source, grid.reshape(B, D * Ho, Wo, 2))
     return out.reshape(B, D, Ho, Wo, -1)
 
 
