@@ -289,3 +289,103 @@ def test_keypoint_predictor_parity(with_var):
         np.testing.assert_allclose(
             np.asarray(out["var"]), ref_out["var"].numpy(), atol=1e-5
         )
+
+
+@needs_ref
+def test_kp_detector_scale_factor_parity():
+    import torch
+    from modules.keypoint_detector import KPDetector as RefKP
+
+    kwargs = dict(
+        block_expansion=8, num_kp=K, num_channels=C, max_features=64,
+        num_blocks=2, temperature=0.1, kp_variance="matrix", scale_factor=0.5,
+    )
+    torch.manual_seed(0)
+    ref = RefKP(**kwargs).eval()
+    ours = KPDetector(**kwargs)
+    x = rand(B, C, D, H, W, seed=20)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(t2j_video(x)), False)
+    variables = import_state_dict(variables, state_np(ref))
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x))
+    out = ours.apply(variables, jnp.asarray(t2j_video(x)), False)
+    np.testing.assert_allclose(np.asarray(out["mean"]), ref_out["mean"].numpy(), atol=1e-4)
+
+
+@needs_ref
+def test_kp_detector_single_variance_parity():
+    import torch
+    from modules.keypoint_detector import KPDetector as RefKP
+
+    kwargs = dict(
+        block_expansion=8, num_kp=K, num_channels=C, max_features=64,
+        num_blocks=2, temperature=0.1, kp_variance="single",
+    )
+    torch.manual_seed(0)
+    ref = RefKP(**kwargs).eval()
+    ours = KPDetector(**kwargs)
+    x = rand(B, C, D, H, W, seed=21)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(t2j_video(x)), False)
+    variables = import_state_dict(variables, state_np(ref))
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x))
+    out = ours.apply(variables, jnp.asarray(t2j_video(x)), False)
+    np.testing.assert_allclose(np.asarray(out["mean"]), ref_out["mean"].numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["var"]), ref_out["var"].numpy(), atol=1e-4)
+
+
+@needs_ref
+def test_generator_trilinear_and_scale_parity():
+    """vox-style recipe: trilinear skip resize + scale_factor'd dense motion
+    and kp embedding (modules/generator.py:51-58 trilinear branch)."""
+    import torch
+    from modules.generator import MotionTransferGenerator as RefGen
+
+    common = dict(num_channels=C, num_kp=K, kp_variance="matrix")
+    gen_params = dict(
+        interpolation_mode="trilinear",
+        block_expansion=8,
+        max_features=64,
+        num_blocks=3,
+        num_refinement_blocks=1,
+        dense_motion_params=dict(
+            block_expansion=8,
+            max_features=64,
+            num_blocks=2,
+            use_mask=True,
+            use_correction=True,
+            scale_factor=0.5,
+            mask_embedding_params=dict(
+                use_heatmap=True,
+                use_difference=True,
+                heatmap_type="difference",
+                norm_const=100,
+            ),
+        ),
+        kp_embedding_params=dict(
+            scale_factor=0.5, use_heatmap=True, norm_const=100,
+            heatmap_type="difference",
+        ),
+    )
+    torch.manual_seed(0)
+    ref = RefGen(**gen_params, **common).eval()
+    ours = MotionTransferGenerator(**gen_params, **common)
+
+    src = rand(B, C, 1, H, W, seed=22)
+    kp_d, kp_s = make_kp(seed=23), make_kp(d=1, seed=24)
+    variables = ours.init(
+        jax.random.PRNGKey(0), jnp.asarray(t2j_video(src)),
+        to_jax_kp(kp_d), to_jax_kp(kp_s), False,
+    )
+    variables = import_state_dict(variables, state_np(ref))
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(src), to_torch_kp(kp_d), to_torch_kp(kp_s))
+    out = ours.apply(
+        variables, jnp.asarray(t2j_video(src)),
+        to_jax_kp(kp_d), to_jax_kp(kp_s), False,
+    )
+    np.testing.assert_allclose(
+        j2t_video(out["video_prediction"]),
+        ref_out["video_prediction"].numpy(),
+        atol=2e-4,
+    )
