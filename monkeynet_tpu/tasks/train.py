@@ -132,24 +132,46 @@ def make_train_step(
             m = jax.lax.pmean(m, axis_name)
         return m
 
+    # Optional rematerialization: recompute the kp-detector / generator
+    # forward during the backward pass instead of keeping every hourglass
+    # activation live — trades ~1/3 more FLOPs for the HBM that 256^2 vox
+    # configs need.
+    remat = bool(train_params.get("remat", False))
+
+    def _kp_forward(kp_params, kp_stats, frames):
+        return kp_detector.apply(
+            {"params": kp_params, "batch_stats": kp_stats},
+            frames, True, mutable=["batch_stats"],
+        )
+
+    def _gen_forward(gen_params, gen_stats, source, kp_driving, kp_source):
+        return generator.apply(
+            {"params": gen_params, "batch_stats": gen_stats},
+            source, kp_driving, kp_source, train=True, mutable=["batch_stats"],
+        )
+
+    if remat:
+        _kp_forward = jax.checkpoint(_kp_forward)
+        _gen_forward = jax.checkpoint(_gen_forward)
+
     def loss_fn(params, batch_stats, batch):
         params = cast_compute(params)
         batch = cast_compute(batch)
         source, video = batch["source"], batch["video"]
 
-        kp_joined, kp_mut = kp_detector.apply(
-            {"params": params["kp_detector"], "batch_stats": batch_stats["kp_detector"]},
+        kp_joined, kp_mut = _kp_forward(
+            params["kp_detector"],
+            batch_stats["kp_detector"],
             jnp.concatenate([source, video], axis=1),
-            True,
-            mutable=["batch_stats"],
         )
 
-        generated, gen_mut = generator.apply(
-            {"params": params["generator"], "batch_stats": batch_stats["generator"]},
+        kps = split_kp(kp_joined, detach_kp_gen)
+        generated, gen_mut = _gen_forward(
+            params["generator"],
+            batch_stats["generator"],
             source,
-            **split_kp(kp_joined, detach_kp_gen),
-            train=True,
-            mutable=["batch_stats"],
+            kps["kp_driving"],
+            kps["kp_source"],
         )
 
         # ---- generator objective: D evaluated with frozen D params, so L_G

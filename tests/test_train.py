@@ -146,3 +146,32 @@ def test_sharded_step_matches_single_device():
         jax.tree.leaves(ref_state.batch_stats), jax.tree.leaves(new_state.batch_stats)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_remat_matches_standard_step():
+    """remat recomputes forwards in the backward pass; gradients must match."""
+    import copy
+    import optax
+
+    batch = _batch()
+    models, params, stats = init_models(
+        TINY_CONFIG, jax.random.PRNGKey(0), (16, 16, 3)
+    )
+    opt = optax.sgd(1.0)
+
+    tp = TINY_CONFIG["train_params"]
+    state = create_train_state(params, stats, opt)
+    ref_state, ref_out = jax.jit(make_train_step(models, tp, opt))(state, batch)
+
+    tp2 = copy.deepcopy(tp)
+    tp2["remat"] = True
+    state2 = create_train_state(params, stats, opt)
+    new_state, out = jax.jit(make_train_step(models, tp2, opt))(state2, batch)
+
+    np.testing.assert_allclose(
+        np.asarray(out["metrics"]), np.asarray(ref_out["metrics"]), atol=1e-5
+    )
+    for a, b in zip(
+        jax.tree.leaves(ref_state.params), jax.tree.leaves(new_state.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
