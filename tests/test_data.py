@@ -141,3 +141,16 @@ def test_loader_deterministic_with_seed(tmp_path):
     a = next(iter(DataLoader(ds, batch_size=2, seed=7)))
     b = next(iter(DataLoader(ds, batch_size=2, seed=7)))
     np.testing.assert_array_equal(a["video"], b["video"])
+
+
+def test_loader_propagates_worker_errors(tmp_path):
+    class Broken:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, idx, rng=None):
+            raise RuntimeError("decode exploded")
+
+    loader = DataLoader(Broken(), batch_size=2, num_workers=2)
+    with pytest.raises(RuntimeError, match="decode exploded"):
+        next(iter(loader))
