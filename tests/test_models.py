@@ -389,3 +389,32 @@ def test_generator_trilinear_and_scale_parity():
         ref_out["video_prediction"].numpy(),
         atol=2e-4,
     )
+
+
+@needs_ref
+def test_temporal_hourglass_parity():
+    """temporal=True (3,3,3) conv path (modules/util.py:139-140), unused by the
+    shipped configs but part of the blocks API."""
+    import torch
+    from modules.util import Hourglass as RefHourglass
+
+    from monkeynet_tpu.models.blocks import Hourglass
+
+    torch.manual_seed(0)
+    ref = RefHourglass(
+        block_expansion=4, in_features=C, out_features=2, num_blocks=2,
+        max_features=16, temporal=True,
+    ).eval()
+    ours = Hourglass(
+        block_expansion=4, out_features=2, num_blocks=2, max_features=16,
+        temporal=True,
+    )
+
+    x = rand(B, C, 4, 16, 16, seed=30)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(t2j_video(x)), False)
+    variables = import_state_dict(variables, state_np(ref))
+
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x)).numpy()
+    out = ours.apply(variables, jnp.asarray(t2j_video(x)), False)
+    np.testing.assert_allclose(j2t_video(out), ref_out, atol=1e-4)
