@@ -136,7 +136,9 @@ def train(config, log_dir, dataset, checkpoint=None, seed=0, num_devices=1,
                         it, names, np.asarray(out["metrics"]), batch, vis_out
                     )
                 else:
-                    logger.log_iter(it, names, np.asarray(out["metrics"]))
+                    # device array on purpose — materialized lazily at the log
+                    # boundary so steps never block on a host sync
+                    logger.log_iter(it, names, out["metrics"])
                 it += 1
 
             from flax import serialization

@@ -92,10 +92,14 @@ class Logger:
         self.log_file.close()
 
     def log_iter(self, it: int, names, values, inp=None, out=None):
+        """`values` may be a device array: it is NOT materialized until the
+        next log boundary, so the train loop never blocks on a device->host
+        sync between steps (the device pipeline stays full)."""
         self.it = it
         self._steps_since_log += 1
-        self.loss_list.append(np.asarray(values))
+        self.loss_list.append(values)
         if it % self.log_freq == 0:
+            self.loss_list = [np.asarray(v) for v in self.loss_list]
             self.log_scores(names)
             if inp is not None and out is not None:
                 self.visualize_rec(inp, out)
