@@ -1,0 +1,53 @@
+"""Logger + visualizer behavior: running-mean log lines, lazy metric
+materialization, checkpoint-on-exit, grid shapes."""
+
+import glob
+import os
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from monkeynet_tpu.utils.logger import Logger
+from monkeynet_tpu.utils.visualizer import Visualizer
+
+
+def test_logger_running_mean_and_lazy_values(tmp_path):
+    log_dir = str(tmp_path)
+    with Logger(log_dir=log_dir, log_freq_iter=2, cpk_freq_epoch=1) as logger:
+        # device arrays are accepted and only materialized at the log boundary
+        logger.log_iter(0, ["a", "b"], jnp.asarray([1.0, 2.0]))
+        logger.log_iter(1, ["a", "b"], jnp.asarray([3.0, 4.0]))
+        logger.log_iter(2, ["a", "b"], jnp.asarray([5.0, 6.0]))
+        logger.log_epoch(0, {"state": {"x": np.zeros(3)}, "epoch": 0, "it": 2})
+
+    lines = open(os.path.join(log_dir, "log.txt")).read().strip().splitlines()
+    # boundary at it=0 flushes [1,2]; boundary at it=2 flushes mean of 2 rows
+    assert lines[0].startswith("00000000)")
+    assert "a - 1.00000" in lines[0]
+    assert "a - 4.00000" in lines[1]  # mean(3, 5)
+    assert "b - 5.00000" in lines[1]  # mean(4, 6)
+    assert glob.glob(os.path.join(log_dir, "*-checkpoint.msgpack"))
+
+
+def test_visualizer_grids():
+    vis = Visualizer(kp_size=1, draw_border=True)
+    B, D, H, W = 2, 3, 16, 16
+    video = np.random.RandomState(0).rand(B, D, H, W, 3).astype(np.float32)
+    source = video[:, :1]
+    kp = (np.random.RandomState(1).rand(B, D, 4, 2) * 2 - 1).astype(np.float32)
+
+    out = {
+        "video_prediction": video,
+        "video_deformed": video,
+        "kp_driving": {"mean": kp},
+        "kp_source": {"mean": kp[:, :1]},
+    }
+    grid = vis.visualize_reconstruction({"source": source, "video": video}, out)
+    # 5 columns x (B*H) rows per frame
+    assert grid.shape == (D, B * H, 5 * W, 3)
+    assert grid.dtype == np.uint8
+
+    out["kp_norm"] = {"mean": kp}
+    grid = vis.visualize_transfer(video, source, out)
+    assert grid.shape == (D, B * H, 6 * W, 3)
