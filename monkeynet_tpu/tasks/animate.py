@@ -34,6 +34,24 @@ def _pad_kp(kp: Dict, total: int) -> Dict:
     }
 
 
+def _bucket(n: int, chunk: int) -> int:
+    """Static frame-count bucket: videos shorter than the chunk are padded to
+    a multiple of 16 so XLA compiles one program per BUCKET, not one per
+    unique video length (gif datasets have ragged lengths)."""
+    if n >= chunk:
+        return chunk
+    return min(chunk, ((n + 15) // 16) * 16)
+
+
+def _pad_frames(frames, total: int):
+    n = frames.shape[1]
+    if n == total:
+        return frames
+    return jnp.concatenate(
+        [frames, jnp.repeat(frames[:, -1:], total - n, axis=1)], axis=1
+    )
+
+
 def _cast_floats(tree, dtype):
     return jax.tree.map(
         lambda a: a.astype(dtype)
@@ -85,7 +103,7 @@ class Animator:
         for start in range(0, d, chunk):
             part = {k: v[:, start : start + chunk] for k, v in kp_driving.items()}
             n_valid = part["mean"].shape[1]
-            part = _pad_kp(part, chunk if d > chunk else n_valid)
+            part = _pad_kp(part, _bucket(n_valid, chunk))
             out = self._run(self.variables, source, part, kp_source)
             for k in outs:
                 outs[k].append(out[k][:, :n_valid])
@@ -173,11 +191,7 @@ class TransferEngine:
         for start in range(0, d, chunk):
             frames = driving[:, start : start + chunk]
             n_valid = frames.shape[1]
-            if d > chunk and n_valid < chunk:
-                frames = jnp.concatenate(
-                    [frames, jnp.repeat(frames[:, -1:], chunk - n_valid, axis=1)],
-                    axis=1,
-                )
+            frames = _pad_frames(frames, _bucket(n_valid, chunk))
             if state is None:
                 out, kp_chunk, kp_norm, state = self._first(
                     self.gen_vars, self.kp_vars, source, frames
@@ -236,10 +250,7 @@ class KPExtractor:
         for start in range(0, d, chunk):
             part = video[:, start : start + chunk]
             n_valid = part.shape[1]
-            if d > chunk and n_valid < chunk:
-                part = jnp.concatenate(
-                    [part, jnp.repeat(part[:, -1:], chunk - n_valid, axis=1)], axis=1
-                )
+            part = _pad_frames(part, _bucket(n_valid, chunk))
             kp = self._run(self.variables, part)
             outs.append({k: v[:, :n_valid] for k, v in kp.items()})
         if len(outs) == 1:
