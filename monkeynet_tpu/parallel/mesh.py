@@ -23,8 +23,20 @@ from monkeynet_tpu.tasks.train import make_train_step
 
 
 def make_mesh(num_devices: int | None = None, devices=None) -> Mesh:
+    """1-D data mesh over the first `num_devices` devices.
+
+    Raises when fewer devices exist than requested — silently truncating
+    would let an N-way run "succeed" while validating a smaller mesh.
+    """
     devices = list(devices if devices is not None else jax.devices())
     if num_devices is not None:
+        if len(devices) < num_devices:
+            raise ValueError(
+                f"requested a {num_devices}-device mesh but only "
+                f"{len(devices)} JAX device(s) are available; for a virtual "
+                f"mesh set JAX_PLATFORMS=cpu and XLA_FLAGS="
+                f"--xla_force_host_platform_device_count={num_devices}"
+            )
         devices = devices[:num_devices]
     return Mesh(np.array(devices), ("data",))
 
@@ -38,33 +50,16 @@ def shard_batch(batch, mesh: Mesh):
 def make_frame_sharded_animator(generator, variables, mesh: Mesh):
     """Multi-chip batch-of-frames inference: every frame is independent given
     its keypoints, so the frame axis shards cleanly over the mesh (SURVEY §5's
-    'sequence' dimension). Params replicate; GSPMD partitions the generator.
+    'sequence' dimension). Params replicate ONCE at construction; GSPMD
+    partitions the generator. Ragged frame counts are padded to a mesh
+    multiple inside the engine and trimmed after.
 
     Returns fn(source, kp_driving, kp_source) -> generator outputs with the
     frame axis sharded over 'data'.
     """
-    import jax.numpy as jnp
+    from monkeynet_tpu.tasks.animate import Animator
 
-    replicated = NamedSharding(mesh, P())
-    frame_sharded = NamedSharding(mesh, P(None, "data"))
-
-    @jax.jit
-    def run(variables, source, kp_driving, kp_source):
-        return generator.apply(variables, source, kp_driving, kp_source,
-                               train=False)
-
-    def animate(source, kp_driving, kp_source):
-        variables_r = jax.device_put(variables, replicated)
-        source = jax.device_put(jnp.asarray(source), replicated)
-        kp_driving = jax.tree.map(
-            lambda v: jax.device_put(jnp.asarray(v), frame_sharded), kp_driving
-        )
-        kp_source = jax.tree.map(
-            lambda v: jax.device_put(jnp.asarray(v), replicated), kp_source
-        )
-        return run(variables_r, source, kp_driving, kp_source)
-
-    return animate
+    return Animator(generator, variables, mesh=mesh).device_call
 
 
 def make_sharded_train_step(models, train_params, optimizer, num_devices=None,

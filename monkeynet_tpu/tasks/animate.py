@@ -34,13 +34,28 @@ def _pad_kp(kp: Dict, total: int) -> Dict:
     }
 
 
-def _bucket(n: int, chunk: int) -> int:
+def _bucket(n: int, chunk: int, granularity: int = 16) -> int:
     """Static frame-count bucket: videos shorter than the chunk are padded to
-    a multiple of 16 so XLA compiles one program per BUCKET, not one per
-    unique video length (gif datasets have ragged lengths)."""
+    a multiple of `granularity` so XLA compiles one program per BUCKET, not
+    one per unique video length (gif datasets have ragged lengths). When the
+    frame axis is sharded over a mesh, granularity is lcm(16, mesh size) so
+    every bucket divides the mesh."""
     if n >= chunk:
         return chunk
-    return min(chunk, ((n + 15) // 16) * 16)
+    return min(chunk, -(-n // granularity) * granularity)
+
+
+def _mesh_granularity(mesh) -> int:
+    if mesh is None:
+        return 16
+    return int(np.lcm(16, mesh.size))
+
+
+def _mesh_shardings(mesh):
+    """(replicated, frame-sharded) NamedShardings for a 1-D data mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return NamedSharding(mesh, P()), NamedSharding(mesh, P(None, "data"))
 
 
 def _pad_frames(frames, total: int):
@@ -69,10 +84,21 @@ class Animator:
     statistics stay float32 internally.
     """
 
-    def __init__(self, generator, variables, chunk: int = 128, dtype=None):
+    def __init__(self, generator, variables, chunk: int = 128, dtype=None,
+                 mesh=None):
         self.generator = generator
-        self.variables = variables
-        self.chunk = chunk
+        self.granularity = _mesh_granularity(mesh)
+        self.chunk = -(-chunk // self.granularity) * self.granularity
+        if mesh is not None:
+            # Params placed (replicated) ONCE at construction; per-call inputs
+            # shard the frame axis over 'data' and GSPMD partitions the
+            # generator — the idiomatic DataParallel-eval equivalent
+            # (reference reconstruction.py:45-46).
+            self._replicated, self._frame_sharded = _mesh_shardings(mesh)
+            self.variables = jax.device_put(variables, self._replicated)
+        else:
+            self._replicated = self._frame_sharded = None
+            self.variables = variables
 
         @jax.jit
         def _run(variables, source, kp_driving, kp_source):
@@ -97,13 +123,18 @@ class Animator:
     def device_call(self, source, kp_driving, kp_source) -> Dict[str, jax.Array]:
         kp_driving = {k: jnp.asarray(v) for k, v in kp_driving.items()}
         kp_source = {k: jnp.asarray(v) for k, v in kp_source.items()}
+        if self._replicated is not None:
+            source = jax.device_put(jnp.asarray(source), self._replicated)
+            kp_source = jax.device_put(kp_source, self._replicated)
         d = kp_driving["mean"].shape[1]
         chunk = self.chunk
         outs = {"video_prediction": [], "video_deformed": []}
         for start in range(0, d, chunk):
             part = {k: v[:, start : start + chunk] for k, v in kp_driving.items()}
             n_valid = part["mean"].shape[1]
-            part = _pad_kp(part, _bucket(n_valid, chunk))
+            part = _pad_kp(part, _bucket(n_valid, chunk, self.granularity))
+            if self._frame_sharded is not None:
+                part = jax.device_put(part, self._frame_sharded)
             out = self._run(self.variables, source, part, kp_source)
             for k in outs:
                 outs[k].append(out[k][:, :n_valid])
@@ -129,8 +160,15 @@ class TransferEngine:
 
     def __init__(self, generator, kp_detector, gen_vars, kp_vars,
                  chunk: int = 128, dtype=None, move_location: bool = True,
-                 clip_mean: bool = False):
-        self.chunk = chunk
+                 clip_mean: bool = False, mesh=None):
+        self.granularity = _mesh_granularity(mesh)
+        self.chunk = -(-chunk // self.granularity) * self.granularity
+        if mesh is not None:
+            self._replicated, self._frame_sharded = _mesh_shardings(mesh)
+            gen_vars = jax.device_put(gen_vars, self._replicated)
+            kp_vars = jax.device_put(kp_vars, self._replicated)
+        else:
+            self._replicated = self._frame_sharded = None
         self.gen_vars = gen_vars
         self.kp_vars = kp_vars
 
@@ -182,6 +220,8 @@ class TransferEngine:
         {'video_prediction','video_deformed','kp_driving','kp_source','kp_norm'}."""
         source = jnp.asarray(source)
         driving = jnp.asarray(driving)
+        if self._replicated is not None:
+            source = jax.device_put(source, self._replicated)
         d = driving.shape[1]
         chunk = self.chunk
 
@@ -191,7 +231,9 @@ class TransferEngine:
         for start in range(0, d, chunk):
             frames = driving[:, start : start + chunk]
             n_valid = frames.shape[1]
-            frames = _pad_frames(frames, _bucket(n_valid, chunk))
+            frames = _pad_frames(frames, _bucket(n_valid, chunk, self.granularity))
+            if self._frame_sharded is not None:
+                frames = jax.device_put(frames, self._frame_sharded)
             if state is None:
                 out, kp_chunk, kp_norm, state = self._first(
                     self.gen_vars, self.kp_vars, source, frames
@@ -223,10 +265,17 @@ class TransferEngine:
 class KPExtractor:
     """kp detector over fixed-size frame chunks, jit-cached, device-resident."""
 
-    def __init__(self, kp_detector, variables, chunk: int = 128, dtype=None):
+    def __init__(self, kp_detector, variables, chunk: int = 128, dtype=None,
+                 mesh=None):
         self.kp_detector = kp_detector
-        self.variables = variables
-        self.chunk = chunk
+        self.granularity = _mesh_granularity(mesh)
+        self.chunk = -(-chunk // self.granularity) * self.granularity
+        if mesh is not None:
+            self._replicated, self._frame_sharded = _mesh_shardings(mesh)
+            self.variables = jax.device_put(variables, self._replicated)
+        else:
+            self._replicated = self._frame_sharded = None
+            self.variables = variables
 
         @jax.jit
         def _run(variables, frames):
@@ -250,7 +299,9 @@ class KPExtractor:
         for start in range(0, d, chunk):
             part = video[:, start : start + chunk]
             n_valid = part.shape[1]
-            part = _pad_frames(part, _bucket(n_valid, chunk))
+            part = _pad_frames(part, _bucket(n_valid, chunk, self.granularity))
+            if self._frame_sharded is not None:
+                part = jax.device_put(part, self._frame_sharded)
             kp = self._run(self.variables, part)
             outs.append({k: v[:, :n_valid] for k, v in kp.items()})
         if len(outs) == 1:

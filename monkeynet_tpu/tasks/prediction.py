@@ -130,7 +130,7 @@ def train_predictor(predictor, kp_windows: KPSequenceDataset, prediction_params,
     return params
 
 
-def prediction(config, log_dir, checkpoint):
+def prediction(config, log_dir, checkpoint, num_devices: int = 1):
     if checkpoint is None:
         raise ValueError("checkpoint is required for prediction mode")
     log_dir = os.path.join(log_dir, "prediction")
@@ -144,8 +144,14 @@ def prediction(config, log_dir, checkpoint):
 
     image_shape = tuple(config["dataset_params"].get("image_shape", (64, 64, 3)))
     models, gen_vars, kp_vars = load_eval_models(config, checkpoint, image_shape)
-    animate = Animator(models["generator"], gen_vars)
-    extract_kp = KPExtractor(models["kp_detector"], kp_vars)
+    mesh = None
+    if num_devices > 1:
+        # DataParallel-eval equivalent (reference prediction.py:46-47).
+        from monkeynet_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(num_devices)
+    animate = Animator(models["generator"], gen_vars, mesh=mesh)
+    extract_kp = KPExtractor(models["kp_detector"], kp_vars, mesh=mesh)
     visualizer = Visualizer(**(config.get("visualizer_params") or {}))
 
     # ---- phase 1: keypoints over the train set

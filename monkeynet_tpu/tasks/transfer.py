@@ -91,7 +91,7 @@ def transfer_one(animate, extract_kp, source_image, driving_video, transfer_para
     return out
 
 
-def transfer(config, log_dir, dataset, checkpoint):
+def transfer(config, log_dir, dataset, checkpoint, num_devices: int = 1):
     if checkpoint is None:
         raise ValueError("checkpoint is required for transfer mode")
     log_dir = os.path.join(log_dir, "transfer")
@@ -103,6 +103,14 @@ def transfer(config, log_dir, dataset, checkpoint):
 
     image_shape = tuple(config["dataset_params"].get("image_shape", (64, 64, 3)))
     models, gen_vars, kp_vars = load_eval_models(config, checkpoint, image_shape)
+    mesh = None
+    if num_devices > 1:
+        # Frame-axis sharding over a data mesh — the DataParallel-eval
+        # equivalent (reference transfer.py:101-102); frames are padded to a
+        # mesh multiple inside the engines and trimmed after.
+        from monkeynet_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(num_devices)
     visualizer = Visualizer(**(config.get("visualizer_params") or {}))
     fmt = transfer_params.get("format", ".gif")
 
@@ -122,10 +130,11 @@ def transfer(config, log_dir, dataset, checkpoint):
             kp_vars,
             move_location=norm.get("move_location", False),
             clip_mean=norm.get("clip_mean", False),
+            mesh=mesh,
         )
     else:
-        animate = Animator(models["generator"], gen_vars)
-        extract_kp = KPExtractor(models["kp_detector"], kp_vars)
+        animate = Animator(models["generator"], gen_vars, mesh=mesh)
+        extract_kp = KPExtractor(models["kp_detector"], kp_vars, mesh=mesh)
 
     for it in range(len(pairs)):
         x = pairs[it]

@@ -34,10 +34,18 @@ def main():
         "--num_devices",
         type=int,
         default=1,
-        help="data-parallel mesh size for training (1 = single chip)",
+        help="data-parallel mesh size: batch-sharded training, "
+        "frame-sharded eval (1 = single chip)",
     )
     parser.add_argument(
         "--platform", default=None, help="force a jax platform (cpu/tpu)"
+    )
+    parser.add_argument(
+        "--distributed",
+        action="store_true",
+        help="join the JAX multi-host runtime (jax.distributed.initialize; "
+        "configure via JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/"
+        "JAX_PROCESS_ID or cloud-TPU auto-detection)",
     )
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument(
@@ -48,6 +56,15 @@ def main():
     )
     parser.add_argument("--verbose", action="store_true", help="print models")
     opt = parser.parse_args()
+
+    if opt.distributed:
+        # Must run before any backend initialization (see
+        # parallel/distributed.py for the multi-host posture).
+        from monkeynet_tpu.parallel.distributed import (
+            maybe_initialize_distributed,
+        )
+
+        maybe_initialize_distributed()
 
     from monkeynet_tpu.utils.jax_setup import setup_jax
 
@@ -86,17 +103,25 @@ def main():
         print("Reconstruction...")
         from monkeynet_tpu.tasks.reconstruction import reconstruction
 
-        reconstruction(config, log_dir, dataset, opt.checkpoint)
+        reconstruction(
+            config, log_dir, dataset, opt.checkpoint,
+            num_devices=opt.num_devices,
+        )
     elif opt.mode == "transfer":
         print("Transfer...")
         from monkeynet_tpu.tasks.transfer import transfer
 
-        transfer(config, log_dir, dataset, opt.checkpoint)
+        transfer(
+            config, log_dir, dataset, opt.checkpoint,
+            num_devices=opt.num_devices,
+        )
     elif opt.mode == "prediction":
         print("Prediction...")
         from monkeynet_tpu.tasks.prediction import prediction
 
-        prediction(config, log_dir, opt.checkpoint)
+        prediction(
+            config, log_dir, opt.checkpoint, num_devices=opt.num_devices
+        )
 
 
 if __name__ == "__main__":
