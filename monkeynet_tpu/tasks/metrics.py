@@ -1,0 +1,88 @@
+"""Reconstruction quality metrics: L1, AKD, AED.
+
+The Monkey-Net paper (arXiv:1812.08861, cited at /root/reference/README.md:3)
+evaluates reconstruction with L1, AKD (average keypoint distance) and AED
+(average euclidean distance in an identity-embedding space). The reference
+repo itself prints only L1 (/root/reference/reconstruction.py:74-77); AKD/AED
+were computed with external detectors/embedders that are not distributable
+here. This module implements:
+
+- **AKD** with the framework's own keypoint detector as the landmark model:
+  keypoints detected on ground-truth frames vs on generated frames, distance
+  in pixels. Self-consistent across runs of this framework and the exact
+  keypoint geometry the model is trained on.
+- **AED** with the generator's appearance encoder as the embedding network
+  (deepest feature map, global-average-pooled) — a documented proxy for the
+  paper's external identity embedders (FaceNet etc.), which cannot be fetched
+  offline.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from monkeynet_tpu.models.blocks import Encoder
+
+
+def kp_to_pixels(mean: np.ndarray, image_shape) -> np.ndarray:
+    """Map kp means from [-1, 1] (xy order, as produced by gaussian2kp) to
+    pixel coordinates, matching the visualizer's mapping
+    (reference logger.py:97-106: (kp + 1) / 2 * size)."""
+    h, w = image_shape[0], image_shape[1]
+    mean = np.asarray(mean)
+    out = np.empty_like(mean)
+    out[..., 0] = (mean[..., 0] + 1.0) / 2.0 * (w - 1)
+    out[..., 1] = (mean[..., 1] + 1.0) / 2.0 * (h - 1)
+    return out
+
+
+def akd(kp_gt: Dict, kp_pred: Dict, image_shape) -> float:
+    """Average keypoint distance in pixels: mean over frames and keypoints of
+    the euclidean distance between ground-truth-frame and generated-frame
+    keypoints."""
+    gt = kp_to_pixels(kp_gt["mean"], image_shape)
+    pred = kp_to_pixels(kp_pred["mean"], image_shape)
+    return float(np.linalg.norm(gt - pred, axis=-1).mean())
+
+
+class EmbeddingExtractor:
+    """Frame embeddings from the generator's appearance encoder: the deepest
+    feature map global-average-pooled to one vector per frame."""
+
+    def __init__(self, config, gen_vars, chunk: int = 128):
+        gp = config["model_params"]["generator_params"]
+        encoder = Encoder(
+            gp["block_expansion"],
+            num_blocks=gp["num_blocks"],
+            max_features=gp["max_features"],
+        )
+        variables = {
+            "params": gen_vars["params"]["appearance_encoder"],
+            "batch_stats": gen_vars["batch_stats"]["appearance_encoder"],
+        }
+        self.chunk = chunk
+        self._run = jax.jit(
+            lambda frames: encoder.apply(variables, frames, False)[-1].mean(
+                axis=(2, 3)
+            )
+        )
+
+    def __call__(self, video) -> np.ndarray:
+        """video (B, D, H, W, C) -> embeddings (B, D, F)."""
+        video = jnp.asarray(video)
+        outs = [
+            self._run(video[:, s : s + self.chunk])
+            for s in range(0, video.shape[1], self.chunk)
+        ]
+        out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+        return np.asarray(out)
+
+
+def aed(emb_gt: np.ndarray, emb_pred: np.ndarray) -> float:
+    """Average euclidean distance between per-frame embeddings."""
+    return float(np.linalg.norm(emb_gt - emb_pred, axis=-1).mean())

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from monkeynet_tpu.data.io import write_gif, write_stacked_png
 from monkeynet_tpu.tasks.animate import Animator, KPExtractor, TransferEngine
 from monkeynet_tpu.tasks.build import init_models
+from monkeynet_tpu.tasks.metrics import EmbeddingExtractor, aed, akd
 from monkeynet_tpu.utils.checkpoint import load_any
 from monkeynet_tpu.utils.visualizer import Visualizer
 
@@ -56,7 +57,7 @@ def load_eval_models(config, checkpoint, image_shape):
     return models, gen_vars, kp_vars
 
 
-def reconstruction(config, log_dir, dataset, checkpoint):
+def reconstruction(config, log_dir, dataset, checkpoint, num_devices: int = 1):
     if checkpoint is None:
         raise ValueError("checkpoint is required for reconstruction mode")
     log_dir = os.path.join(log_dir, "reconstruction")
@@ -65,19 +66,32 @@ def reconstruction(config, log_dir, dataset, checkpoint):
 
     image_shape = tuple(config["dataset_params"].get("image_shape", (64, 64, 3)))
     models, gen_vars, kp_vars = load_eval_models(config, checkpoint, image_shape)
+    mesh = None
+    if num_devices > 1:
+        # Frame-axis sharding over a data mesh — the DataParallel-eval
+        # equivalent (reference reconstruction.py:45-46); ragged videos are
+        # padded to a mesh multiple inside the engine and trimmed after.
+        from monkeynet_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(num_devices)
     # Self-reenactment is transfer with identity normalization: frame 0 is the
     # source, per-frame kp drive unchanged — so the fused engine applies
     # (kp detect + generate in one program per chunk).
     engine = TransferEngine(
         models["generator"], models["kp_detector"], gen_vars, kp_vars,
-        move_location=False,
+        move_location=False, mesh=mesh,
     )
     visualizer = Visualizer(**(config.get("visualizer_params") or {}))
+    # Paper metrics (arXiv:1812.08861): AKD via our own kp detector on
+    # gt-vs-generated frames, AED via appearance-encoder embeddings (see
+    # tasks/metrics.py for the external-model caveat).
+    kp_extractor = KPExtractor(models["kp_detector"], kp_vars, mesh=mesh)
+    embedder = EmbeddingExtractor(config, gen_vars)
 
     num_videos = config["reconstruction_params"]["num_videos"]
     fmt = config["reconstruction_params"].get("format", ".gif")
 
-    loss_list = []
+    loss_list, akd_list, aed_list = [], [], []
     for it in range(len(dataset)):
         # reference stops AFTER processing index == num_videos
         if num_videos is not None and it > num_videos:
@@ -107,6 +121,18 @@ def reconstruction(config, log_dir, dataset, checkpoint):
         write_gif(os.path.join(log_dir, x["name"] + fmt), grid)
 
         loss_list.append(float(np.abs(out["video_prediction"] - video).mean()))
+        # kp_driving IS kp(gt frames) in self-reenactment; compare against kp
+        # detected on the generated frames.
+        kp_pred = kp_extractor(dev_out["video_prediction"])
+        akd_list.append(akd(out["kp_driving"], kp_pred, image_shape))
+        aed_list.append(aed(embedder(video), embedder(dev_out["video_prediction"])))
 
-    print("Reconstruction loss: %s" % np.mean(loss_list))
-    return float(np.mean(loss_list))
+    metrics = {
+        "l1": float(np.mean(loss_list)),
+        "akd": float(np.mean(akd_list)),
+        "aed": float(np.mean(aed_list)),
+    }
+    print("Reconstruction loss: %s" % metrics["l1"])
+    print("AKD (self-detector, px): %s" % metrics["akd"])
+    print("AED (encoder-embedding proxy): %s" % metrics["aed"])
+    return metrics

@@ -137,6 +137,33 @@ def test_split_and_preprocess_tools(tmp_path):
     assert len(os.listdir(flat / "test")) == 2
 
 
+def test_akd_synthetic_known_displacement():
+    """A uniform kp shift of (dx, dy) in normalized coords must give exactly
+    the corresponding pixel distance on the (H-1, W-1) mapping."""
+    from monkeynet_tpu.tasks.metrics import akd, kp_to_pixels
+
+    B, D, K = 1, 3, 4
+    rng = np.random.RandomState(0)
+    mean_gt = (rng.rand(B, D, K, 2).astype(np.float32) * 2 - 1) * 0.5
+    H = W = 65  # (S-1)/2 = 32 px per normalized unit
+    dx, dy = 2.0 / (W - 1), 2.0 / (H - 1)  # exactly 1 px in each axis
+    mean_pred = mean_gt + np.array([dx, dy], np.float32)
+    got = akd({"mean": mean_gt}, {"mean": mean_pred}, (H, W, 3))
+    np.testing.assert_allclose(got, np.sqrt(2.0), rtol=1e-5)
+
+    px = kp_to_pixels(np.array([[-1.0, 1.0]]), (H, W, 3))
+    np.testing.assert_allclose(px, [[0.0, H - 1]])
+
+
+def test_aed_synthetic():
+    from monkeynet_tpu.tasks.metrics import aed
+
+    emb = np.random.RandomState(1).rand(1, 5, 8).astype(np.float32)
+    assert aed(emb, emb) == 0.0
+    shifted = emb + np.float32(3.0) / np.sqrt(np.float32(8.0))
+    np.testing.assert_allclose(aed(emb, shifted), 3.0, rtol=1e-5)
+
+
 @needs_ref
 def test_sobel_gradient_matches_reference():
     import torch
