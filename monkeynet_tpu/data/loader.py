@@ -1,18 +1,24 @@
-"""Threaded, double-buffered batch loader.
+"""Threaded, bounded, double-buffered batch loader.
 
 Replaces the reference's torch DataLoader worker processes (train.py:99) with
 a thread pool decoding/augmenting numpy batches ahead of the device: the next
 batch is always being prepared while the current step runs, so the TPU never
 waits on PNG decode. Augmentation is cv2/PIL/numpy (GIL-released C loops), so
-threads scale well enough at these image sizes; shuffling and per-item RNG are
-seeded for reproducibility.
+threads scale well enough at these image sizes.
+
+Memory is bounded: at most `prefetch` decoded batches exist at any moment
+(a semaphore gates workers *before* they claim a task, so the in-flight set is
+always the lowest-indexed pending batches — no deadlock, no unbounded results
+dict). The consumer blocks on a condition variable, not a poll loop. Every
+item gets its own seeded RNG, so augmentation randomness is independent of
+batch composition and worker scheduling.
 """
 
 from __future__ import annotations
 
 import queue
 import threading
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 
@@ -46,7 +52,7 @@ class DataLoader:
         self.drop_last = drop_last
         self.num_workers = max(1, num_workers)
         self.seed = seed
-        self.prefetch = prefetch
+        self.prefetch = max(1, prefetch)
         self.epoch = 0
 
     def __len__(self):
@@ -62,44 +68,61 @@ class DataLoader:
         for i in range(0, stop, self.batch_size):
             yield order[i : i + self.batch_size]
 
+    def _load_batch(self, epoch: int, bi: int, idxs) -> dict:
+        items = []
+        for pos, j in enumerate(idxs):
+            # Per-item RNG: keyed by (seed, epoch, batch, position), so the
+            # augmentation stream of one item never depends on its batchmates
+            # or on which worker thread decoded it.
+            rng = np.random.default_rng((self.seed, epoch, bi, pos))
+            try:
+                items.append(self.dataset.__getitem__(int(j), rng=rng))
+            except TypeError:
+                items.append(self.dataset[int(j)])
+        return collate(items)
+
     def __iter__(self) -> Iterator[dict]:
         batches = list(self._batch_indices())
+        epoch = self.epoch
         self.epoch += 1
         if not batches:
             return iter(())
 
-        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         task_q: "queue.Queue" = queue.Queue()
         for bi, idxs in enumerate(batches):
             task_q.put((bi, idxs))
 
-        results = {}
-        results_lock = threading.Lock()
+        results: dict = {}
+        cond = threading.Condition()
         stop_flag = threading.Event()
+        # Workers acquire a slot BEFORE claiming a task: the slot holders are
+        # therefore exactly the lowest-indexed pending batches, so the batch
+        # the consumer is waiting on is always among the ones being decoded.
+        # Sized so all workers can decode concurrently while `prefetch`
+        # finished batches wait; total in-flight memory stays bounded.
+        slots = threading.Semaphore(self.prefetch + self.num_workers - 1)
 
         def worker():
             while not stop_flag.is_set():
+                while not slots.acquire(timeout=0.25):
+                    if stop_flag.is_set():
+                        return
                 try:
                     bi, idxs = task_q.get_nowait()
                 except queue.Empty:
+                    slots.release()
                     return
-                rng = np.random.default_rng((self.seed, self.epoch, bi))
                 try:
-                    items = []
-                    for j in idxs:
-                        try:
-                            items.append(self.dataset.__getitem__(int(j), rng=rng))
-                        except TypeError:
-                            items.append(self.dataset[int(j)])
-                    batch = collate(items)
+                    batch = self._load_batch(epoch, bi, idxs)
                 except Exception as e:  # surface errors to the consumer
                     batch = e
-                with results_lock:
+                with cond:
                     results[bi] = batch
+                    cond.notify_all()
 
         threads = [
             threading.Thread(target=worker, daemon=True)
-            for _ in range(self.num_workers)
+            for _ in range(min(self.num_workers, len(batches)))
         ]
         for t in threads:
             t.start()
@@ -107,16 +130,17 @@ class DataLoader:
         def gen():
             try:
                 for bi in range(len(batches)):
-                    while True:
-                        with results_lock:
-                            if bi in results:
-                                batch = results.pop(bi)
-                                break
-                        threading.Event().wait(0.002)
+                    with cond:
+                        while bi not in results:
+                            cond.wait()
+                        batch = results.pop(bi)
+                    slots.release()  # consumed: let a worker start the next
                     if isinstance(batch, Exception):
                         raise batch
                     yield batch
             finally:
                 stop_flag.set()
+                with cond:
+                    cond.notify_all()
 
         return gen()

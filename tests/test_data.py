@@ -143,6 +143,54 @@ def test_loader_deterministic_with_seed(tmp_path):
     np.testing.assert_array_equal(a["video"], b["video"])
 
 
+def test_loader_bounds_in_flight_batches():
+    """A slow consumer must not let workers decode the whole epoch ahead:
+    decodes-started can exceed batches-consumed only by the slot bound
+    (prefetch + num_workers - 1), plus the one batch mid-yield."""
+    import time
+
+    started = []
+
+    class Counting:
+        def __len__(self):
+            return 16
+
+        def __getitem__(self, idx, rng=None):
+            started.append(idx)
+            return {"x": np.zeros(4, np.float32)}
+
+    loader = DataLoader(
+        Counting(), batch_size=1, shuffle=False, num_workers=2, prefetch=1
+    )
+    consumed = 0
+    for _ in loader:
+        consumed += 1
+        time.sleep(0.02)  # give workers time to run ahead if unbounded
+        assert len(started) <= consumed + 3
+    assert consumed == 16
+
+
+def test_loader_item_rng_independent_of_batch_composition(tmp_path):
+    """The same (epoch, batch, position) slot gets the same RNG stream, so
+    augmentation randomness doesn't depend on worker scheduling."""
+    seen = {}
+
+    class Probe:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, idx, rng=None):
+            return {"x": rng.random(3).astype(np.float32)}
+
+    for workers in (1, 3):
+        loader = DataLoader(
+            Probe(), batch_size=2, shuffle=False, num_workers=workers, seed=5
+        )
+        loader.epoch = 0
+        seen[workers] = np.concatenate([b["x"] for b in loader])
+    np.testing.assert_array_equal(seen[1], seen[3])
+
+
 def test_loader_propagates_worker_errors(tmp_path):
     class Broken:
         def __len__(self):
