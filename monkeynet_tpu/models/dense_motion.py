@@ -106,25 +106,34 @@ class DenseMotion(nn.Module):
         B, D, h, w, _ = prediction.shape
 
         if self.use_mask:
-            mask = jax.nn.softmax(prediction[..., : self.num_kp + 1], axis=-1)
-            diff_embed = MovementEmbedding(
-                num_kp=self.num_kp,
-                kp_variance=self.kp_variance,
-                num_channels=self.num_channels,
-                add_bg_feature_map=True,
-                use_difference=True,
-                use_heatmap=False,
-                use_deformed_source_image=False,
-                name="difference_embedding",
-            )(source_image, kp_driving, kp_source)
-            # (B, D, h, w, (K+1)*2) -> per-kp xy fields, weighted by the mask.
-            diff_fields = diff_embed.reshape(B, D, h, w, self.num_kp + 1, 2)
-            relative = jnp.sum(diff_fields * mask[..., None], axis=-2)
+            # The per-kp difference "fields" of the reference
+            # (dense_motion_module.py:52-68 via its difference embedding) are
+            # spatially constant: kp_source - kp_driving, bg slot zero. The
+            # combine is therefore softmax(masks) @ displacement-table — an
+            # MXU einsum (jnp) or one fused VMEM pass (Pallas).
+            kp_diff = kp_source["mean"] - kp_driving["mean"]  # (B, D, K, 2)
+            kp_diff = jnp.concatenate(
+                [jnp.zeros_like(kp_diff[:, :, :1]), kp_diff], axis=2
+            ).astype(prediction.dtype)
+            logits = prediction[..., : self.num_kp + 1]
+            if self.use_correction:
+                corr = prediction[..., -2:]
+            else:
+                corr = jnp.zeros((B, D, h, w, 2), prediction.dtype)
+            from monkeynet_tpu.ops import pallas as _pallas
+
+            if _pallas.enabled():
+                from monkeynet_tpu.ops.pallas.combine import (
+                    dense_motion_combine_pallas,
+                )
+
+                return dense_motion_combine_pallas(logits, kp_diff, corr)
+            mask = jax.nn.softmax(logits, axis=-1)
+            relative = jnp.einsum("bdhwk,bdkc->bdhwc", mask, kp_diff) + corr
         else:
             relative = jnp.zeros((B, D, h, w, 2), prediction.dtype)
-
-        if self.use_correction:
-            relative = relative + prediction[..., -2:]
+            if self.use_correction:
+                relative = relative + prediction[..., -2:]
 
         grid = make_coordinate_grid((h, w), dtype=relative.dtype)
         return relative + grid[None, None]

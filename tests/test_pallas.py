@@ -95,3 +95,45 @@ def test_gaussian2kp_pallas_matches_reference(variance, clip):
         np.testing.assert_allclose(
             np.asarray(out["var"]), np.asarray(ref["var"]), atol=1e-4, rtol=tol
         )
+
+
+def test_dense_motion_combine_forward_matches_reference():
+    from monkeynet_tpu.ops.pallas.combine import (
+        dense_motion_combine_pallas,
+        dense_motion_combine_reference,
+    )
+
+    rng = np.random.RandomState(2)
+    B, D, H, W, K1 = 2, 3, 12, 16, 5
+    logits = jnp.asarray(rng.randn(B, D, H, W, K1).astype(np.float32))
+    diff = jnp.asarray(rng.randn(B, D, K1, 2).astype(np.float32) * 0.3)
+    corr = jnp.asarray(rng.randn(B, D, H, W, 2).astype(np.float32) * 0.1)
+
+    ref = dense_motion_combine_reference(logits, diff, corr)
+    out = dense_motion_combine_pallas(logits, diff, corr, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_dense_motion_combine_gradients_match_reference():
+    from monkeynet_tpu.ops.pallas.combine import (
+        dense_motion_combine_pallas,
+        dense_motion_combine_reference,
+    )
+
+    rng = np.random.RandomState(3)
+    B, D, H, W, K1 = 1, 2, 8, 8, 4
+    logits = jnp.asarray(rng.randn(B, D, H, W, K1).astype(np.float32))
+    diff = jnp.asarray(rng.randn(B, D, K1, 2).astype(np.float32) * 0.3)
+    corr = jnp.asarray(rng.randn(B, D, H, W, 2).astype(np.float32) * 0.1)
+    w = jnp.asarray(rng.randn(B, D, H, W, 2).astype(np.float32))
+
+    def loss_ref(l, d, c):
+        return jnp.sum(dense_motion_combine_reference(l, d, c) * w)
+
+    def loss_pl(l, d, c):
+        return jnp.sum(dense_motion_combine_pallas(l, d, c, True) * w)
+
+    ref_grads = jax.grad(loss_ref, argnums=(0, 1, 2))(logits, diff, corr)
+    pl_grads = jax.grad(loss_pl, argnums=(0, 1, 2))(logits, diff, corr)
+    for a, b in zip(pl_grads, ref_grads):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
