@@ -1,10 +1,17 @@
 #!/usr/bin/env python
-"""Headline benchmark: transfer-mode animated frames/sec on one TPU chip.
+"""Headline benchmark: transfer-mode animated frames/sec on one TPU chip,
+plus train-path steps/s and measured-FLOP MFU for both paths.
 
-Measures the full per-frame transfer pipeline — keypoint detection of driving
+Transfer measures the full per-frame pipeline — keypoint detection of driving
 frames + dense-motion + warped generation — on the Taichi-sized model
 (num_kp=10, 64x64, max_features=1024; the reference's flagship recipe), frames
-batched in chunks of 32 as the framework runs them in production.
+batched in chunks of 128 as the framework runs them in production. Train
+measures the fused single-program GAN step (G+D+3 Adam updates) at the taichi
+batch size on synthetic device-resident data (isolates chip throughput from
+the host loader; see scripts/bench_loader.py for the host side).
+
+FLOPs are MEASURED from the compiled programs via XLA cost analysis (not the
+analytic estimate of round 1); MFU = flops*rate / bf16 peak of the local chip.
 
 Baseline: the reference animates frame-by-frame in a Python loop
 (reference transfer.py:72-74) on one V100. No throughput number is published
@@ -15,7 +22,7 @@ the per-frame Python loop caps it near that. We use 100 fps.
 BASELINE.json's target is >=5x V100 on a v5e-8; vs_baseline below is the
 single-chip ratio against the V100 estimate.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 
 from __future__ import annotations
@@ -30,36 +37,57 @@ CHUNK = 128
 N_FRAMES = 512
 H = W = 64
 RUNS = 5
+TRAIN_BATCH = 32
+TRAIN_STEPS = 30
+
+# bf16 peak FLOP/s by device kind (dense); fallback is v5e.
+_PEAKS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
 
 
-def main():
-    from monkeynet_tpu.utils.jax_setup import setup_jax
+def _peak_flops(jax):
+    kind = jax.devices()[0].device_kind
+    for k, v in _PEAKS.items():
+        if kind.startswith(k):
+            return v, kind
+    return 197e12, kind
 
-    jax = setup_jax()
-    import jax.numpy as jnp
 
+def _flops_of(compiled) -> float | None:
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        f = cost.get("flops")
+        return float(f) if f and f > 0 else None
+    except Exception:
+        return None
+
+
+def _bench_transfer(jax, jnp, config):
     from monkeynet_tpu.tasks.animate import TransferEngine
     from monkeynet_tpu.tasks.build import init_models
-    from monkeynet_tpu.utils.config import load_config
 
-    config = load_config("configs/taichi.yaml")
-    models, params, batch_stats = init_models(config, jax.random.PRNGKey(0), (H, W, 3))
-    gen_vars = {"params": params["generator"], "batch_stats": batch_stats["generator"]}
-    kp_vars = {
-        "params": params["kp_detector"],
-        "batch_stats": batch_stats["kp_detector"],
-    }
+    models, params, batch_stats = init_models(
+        config, jax.random.PRNGKey(0), (H, W, 3)
+    )
+    gen_vars = {"params": params["generator"],
+                "batch_stats": batch_stats["generator"]}
+    kp_vars = {"params": params["kp_detector"],
+               "batch_stats": batch_stats["kp_detector"]}
     # bf16 compute: measured output delta vs f32 is mean L1 4e-4 / max 4e-3
     # on [0,1] images — below 8-bit quantization. TransferEngine fuses kp
     # detection + normalization + generation into one program per chunk.
     engine = TransferEngine(
-        models["generator"],
-        models["kp_detector"],
-        gen_vars,
-        kp_vars,
-        chunk=CHUNK,
-        dtype=jnp.bfloat16,
-        move_location=True,
+        models["generator"], models["kp_detector"], gen_vars, kp_vars,
+        chunk=CHUNK, dtype=jnp.bfloat16, move_location=True,
     )
 
     rng = np.random.RandomState(0)
@@ -69,7 +97,6 @@ def main():
     def one_pass():
         out = engine(source, driving)
         jax.block_until_ready(out["video_prediction"])
-        return out["video_prediction"]
 
     one_pass()  # warmup + compile
     times = []
@@ -77,8 +104,91 @@ def main():
         t0 = time.perf_counter()
         one_pass()
         times.append(time.perf_counter() - t0)
-
     fps = N_FRAMES / min(times)
+
+    # Measured FLOPs of the chunk program (the _first variant adds only one
+    # extra kp detection on the single source frame vs the steady-state one).
+    flops_per_frame = None
+    try:
+        lowered = engine._first.lower(
+            engine.gen_vars, engine.kp_vars, source, driving[:, :CHUNK]
+        )
+        flops = _flops_of(lowered.compile())
+        if flops:
+            flops_per_frame = flops / CHUNK
+    except Exception:
+        pass
+    return fps, flops_per_frame
+
+
+def _bench_train(jax, jnp, config):
+    from monkeynet_tpu.tasks.build import init_models
+    from monkeynet_tpu.tasks.train import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+        multistep_lr,
+    )
+
+    tp = dict(config["train_params"])
+    models, params, batch_stats = init_models(
+        config, jax.random.PRNGKey(0), (H, W, 3)
+    )
+    optimizer = make_optimizer(multistep_lr(tp["lr"], tp["epoch_milestones"], 100))
+    state = create_train_state(params, batch_stats, optimizer)
+    step = jax.jit(make_train_step(models, tp, optimizer), donate_argnums=0)
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "source": jnp.asarray(
+            rng.rand(TRAIN_BATCH, 1, H, W, 3).astype(np.float32)),
+        "video": jnp.asarray(
+            rng.rand(TRAIN_BATCH, 1, H, W, 3).astype(np.float32)),
+    }
+
+    flops_per_step = None
+    try:
+        flops_per_step = _flops_of(step.lower(state, batch).compile())
+    except Exception:
+        pass
+
+    state, out = step(state, batch)  # compile + warmup
+    jax.block_until_ready(out["metrics"])
+    t0 = time.perf_counter()
+    for _ in range(TRAIN_STEPS):
+        state, out = step(state, batch)
+    jax.block_until_ready(out["metrics"])
+    sps = TRAIN_STEPS / (time.perf_counter() - t0)
+    return sps, flops_per_step
+
+
+def main():
+    from monkeynet_tpu.utils.jax_setup import setup_jax
+
+    jax = setup_jax()
+    import jax.numpy as jnp
+
+    from monkeynet_tpu.utils.config import load_config
+
+    config = load_config("configs/taichi.yaml")
+    peak, kind = _peak_flops(jax)
+
+    fps, flops_per_frame = _bench_transfer(jax, jnp, config)
+    sps, flops_per_step = _bench_train(jax, jnp, config)
+
+    extra = {
+        "device_kind": kind,
+        "train_steps_per_sec_taichi_b32": round(sps, 2),
+    }
+    if flops_per_frame:
+        extra["transfer_gflop_per_frame_measured"] = round(
+            flops_per_frame / 1e9, 2)
+        extra["transfer_mfu_vs_bf16_peak"] = round(
+            fps * flops_per_frame / peak, 4)
+    if flops_per_step:
+        extra["train_gflop_per_step_measured"] = round(flops_per_step / 1e9, 2)
+        extra["train_mfu_vs_bf16_peak"] = round(sps * flops_per_step / peak, 4)
+
     print(
         json.dumps(
             {
@@ -86,6 +196,7 @@ def main():
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / V100_EST_FPS, 3),
+                "extra": extra,
             }
         )
     )
