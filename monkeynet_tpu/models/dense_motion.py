@@ -71,7 +71,7 @@ class DenseMotion(nn.Module):
             name="mask_embedding",
             **self.mask_embedding_params,
         )
-        embed = mask_embedding(source_image, kp_driving, kp_source)
+        embed = mask_embedding(source_image, kp_driving, kp_source, train=train)
 
         for i in range(self.num_group_blocks):
             embed = SameBlock(
@@ -122,7 +122,7 @@ class DenseMotion(nn.Module):
                 corr = jnp.zeros((B, D, h, w, 2), prediction.dtype)
             from monkeynet_tpu.ops import pallas as _pallas
 
-            if _pallas.enabled():
+            if _pallas.enabled("combine"):
                 from monkeynet_tpu.ops.pallas.combine import (
                     dense_motion_combine_pallas,
                 )

@@ -80,7 +80,7 @@ class MotionTransferGenerator(nn.Module):
                 num_channels=self.num_channels,
                 name="kp_embedding",
                 **self.kp_embedding_params,
-            )(source_image, kp_driving, kp_source)  # (B, D, H, W, E)
+            )(source_image, kp_driving, kp_source, train=train)  # (B, D, H, W, E)
             skips = [
                 jnp.concatenate(
                     [

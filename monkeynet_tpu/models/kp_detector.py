@@ -50,7 +50,7 @@ class KPDetector(nn.Module):
         if not train:
             from monkeynet_tpu.ops import pallas as pallas_pkg
 
-            if pallas_pkg.enabled():
+            if pallas_pkg.enabled("softargmax"):
                 # fused softmax + soft-argmax + covariance (forward-only)
                 from monkeynet_tpu.ops.pallas.softargmax import gaussian2kp_pallas
 

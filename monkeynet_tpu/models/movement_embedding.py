@@ -54,9 +54,12 @@ class MovementEmbedding(nn.Module):
             return heatmap / jnp.sum(heatmap, axis=(-1, -2), keepdims=True)
         return heatmap / self.norm_const
 
-    def __call__(self, source_image, kp_driving, kp_source):
+    def __call__(self, source_image, kp_driving, kp_source, train: bool = True):
         """source_image: (B, T, H, W, C) (T=1 on all real paths);
-        kp dicts with mean (B, D, K, 2). Returns (B, D, h, w, out_channels)."""
+        kp dicts with mean (B, D, K, 2). Returns (B, D, h, w, out_channels).
+
+        `train=False` enables the forward-only fused Pallas heatmap kernel
+        (no VJP) on TPU; training always uses the differentiable jnp path."""
         if self.heatmap_type not in ("gaussian", "difference"):
             raise ValueError(f"bad heatmap_type {self.heatmap_type}")
 
@@ -74,14 +77,21 @@ class MovementEmbedding(nn.Module):
         parts = []  # each (B, D, H, W, Kb, c_i)
 
         if self.use_heatmap:
-            heat = self._normalize_heatmap(
-                kp2gaussian(kp_driving, (h, w), self.kp_variance)
-            )  # (B, D, K, h, w)
-            if self.heatmap_type == "difference":
-                heat_src = self._normalize_heatmap(
-                    kp2gaussian(kp_source, (h, w), self.kp_variance)
+            from monkeynet_tpu.ops import pallas as pallas_pkg
+
+            if not train and pallas_pkg.enabled("heatmap"):
+                from monkeynet_tpu.ops.pallas.heatmap import kp2gaussian_pallas
+
+                render = lambda kp: kp2gaussian_pallas(  # noqa: E731
+                    kp, (h, w), self.kp_variance, norm_const=self.norm_const
                 )
-                heat = heat - heat_src
+            else:
+                render = lambda kp: self._normalize_heatmap(  # noqa: E731
+                    kp2gaussian(kp, (h, w), self.kp_variance)
+                )
+            heat = render(kp_driving)  # (B, D, K, h, w)
+            if self.heatmap_type == "difference":
+                heat = heat - render(kp_source)
             if self.add_bg_feature_map:
                 heat = jnp.concatenate(
                     [jnp.zeros_like(heat[:, :, :1]), heat], axis=2

@@ -93,7 +93,7 @@ def warp_video(source, grid):
 
     B, D, Ho, Wo, _ = grid.shape
     sampler = grid_sample
-    if pallas_pkg.enabled():
+    if pallas_pkg.enabled("warp"):
         from monkeynet_tpu.ops.pallas.warp import grid_sample_pallas
 
         sampler = grid_sample_pallas

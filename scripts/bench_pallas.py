@@ -9,6 +9,11 @@ feeding the keep/retire decision recorded in RESULTS.md.
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 import time

@@ -13,6 +13,11 @@ memory/throughput behavior the vox config's `remat: true` +
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import copy
 import json
