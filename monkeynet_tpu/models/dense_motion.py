@@ -122,7 +122,7 @@ class DenseMotion(nn.Module):
                 corr = jnp.zeros((B, D, h, w, 2), prediction.dtype)
             from monkeynet_tpu.ops import pallas as _pallas
 
-            if _pallas.enabled("combine"):
+            if _pallas.enabled("combine", train):
                 from monkeynet_tpu.ops.pallas.combine import (
                     dense_motion_combine_pallas,
                 )

@@ -38,13 +38,13 @@ class MotionTransferGenerator(nn.Module):
     interpolation_mode: str = "nearest"
     axis_name: Optional[str] = None
 
-    def _deform_input(self, inp, deformation):
+    def _deform_input(self, inp, deformation, train: bool):
         """Warp (B, 1, h, w, C) input by flow (B, D, hf, wf, 2), resizing the
         flow to the input's spatial size first (reference: deform_input,
         modules/generator.py:51-58)."""
         h, w = inp.shape[2], inp.shape[3]
         flow = resize_video(deformation, (h, w), mode=self.interpolation_mode)
-        return warp_video(inp[:, 0], flow)
+        return warp_video(inp[:, 0], flow, train=train)
 
     @nn.compact
     def __call__(self, source_image, kp_driving, kp_source, train: bool):
@@ -71,7 +71,10 @@ class MotionTransferGenerator(nn.Module):
         else:
             deformation = identity_deformation(source_image, kp_driving)
 
-        skips = [self._deform_input(skip, deformation) for skip in appearance_skips]
+        skips = [
+            self._deform_input(skip, deformation, train)
+            for skip in appearance_skips
+        ]
 
         if self.kp_embedding_params is not None:
             embedding = MovementEmbedding(
@@ -96,7 +99,7 @@ class MotionTransferGenerator(nn.Module):
                 for skip in skips
             ]
 
-        video_deformed = self._deform_input(source_image, deformation)
+        video_deformed = self._deform_input(source_image, deformation, train)
 
         out = Decoder(
             self.block_expansion,

@@ -4,15 +4,18 @@ modules/dense_motion_module.py:52-76).
 
 The per-keypoint difference "fields" are spatially constant — they are just
 kp_source - kp_driving broadcast over the plane — so the combine is really a
-per-pixel softmax over K+1 mask logits followed by a (h*w, K+1) @ (K+1, 2)
+per-pixel softmax over K+1 mask logits followed by a (2, K+1) @ (K+1, hw)
 matmul against the per-frame displacement table. The jnp path materializes the
 softmax output and (at reference fidelity) a (B, D, h, w, K+1, 2) difference
 tensor in HBM; this kernel reads the logits once, keeps everything
-(exp/normalize/matmul/grid add) in VMEM, and writes only the (h, w, 2) flow.
+(exp/normalize/matmul/grid add) in VMEM, and writes only the (2, hw) flow.
 
-One program per (batch, frame). Channels stay last (lanes); the weighted sum
-runs on the MXU via a single small dot. float32 accumulation regardless of
-input dtype.
+Layout: channels-on-sublanes / pixels-on-lanes ((K+1, hw) logits, (2, hw)
+flow). With pixels on sublanes the K+1 and 2 channel dims land on the 128-wide
+lane dim and pad 11x/64x — enough to blow the 16 MB scoped-VMEM budget at
+128^2. Pixels are additionally block-tiled (LANE_TILE per step) so VMEM stays
+bounded at any resolution. One program per (batch-frame, pixel-tile); float32
+accumulation regardless of input dtype.
 
 Backward is closed-form softmax/matmul math in plain jnp (custom VJP below):
   p = softmax(l); rel = p @ d
@@ -28,51 +31,63 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Pixels per kernel step: (K+1, 32768) f32 logits block is 1.4 MB at K=10.
+LANE_TILE = 32768
 
-def _kernel(logits_ref, diff_ref, corr_ref, out_ref, *, H, W, K1):
-    x = logits_ref[0].astype(jnp.float32)  # (H, W, K1)
-    m = jnp.max(x, axis=-1, keepdims=True)
+
+def _kernel(logits_ref, diff_ref, corr_ref, out_ref, *, H, W, Lb):
+    x = logits_ref[0].astype(jnp.float32)  # (K1, Lb)
+    m = jnp.max(x, axis=0, keepdims=True)
     e = jnp.exp(x - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
-    dmat = diff_ref[0].astype(jnp.float32)  # (K1, 2)
-    rel = jnp.dot(
-        p.reshape(H * W, K1), dmat, preferred_element_type=jnp.float32
-    ).reshape(H, W, 2)
+    p = e / jnp.sum(e, axis=0, keepdims=True)
+    dmat = diff_ref[0].astype(jnp.float32)  # (2, K1)
+    rel = jnp.dot(dmat, p, preferred_element_type=jnp.float32)  # (2, Lb)
     rel = rel + corr_ref[0].astype(jnp.float32)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1).astype(jnp.float32)
-    ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0).astype(jnp.float32)
+    idx = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, Lb), 1)
+        + pl.program_id(1) * Lb
+    )
+    xs = (idx % W).astype(jnp.float32)
+    ys = (idx // W).astype(jnp.float32)
     gx = 2.0 * xs / (W - 1) - 1.0
     gy = 2.0 * ys / (H - 1) - 1.0
-    out_ref[0] = jnp.stack([gx, gy], axis=-1).reshape(H, W, 2).astype(
-        out_ref.dtype
-    ) + rel.astype(out_ref.dtype)
+    grid = jnp.concatenate([gx, gy], axis=0)  # (2, Lb)
+    out_ref[0] = (grid + rel).astype(out_ref.dtype)
+
+
+def _pad_to(n, m):
+    return ((n + m - 1) // m) * m
 
 
 def _forward(logits, diff, corr, interpret=False):
     B, D, H, W, K1 = logits.shape
     N = B * D
-    kernel = functools.partial(_kernel, H=H, W=W, K1=K1)
+    HW = H * W
+    Lb = min(HW, LANE_TILE)
+    HWp = _pad_to(HW, Lb)
+    lg = logits.reshape(N, HW, K1).swapaxes(1, 2)  # (N, K1, HW)
+    cr = corr.reshape(N, HW, 2).swapaxes(1, 2)  # (N, 2, HW)
+    if HWp != HW:
+        lg = jnp.pad(lg, ((0, 0), (0, 0), (0, HWp - HW)))
+        cr = jnp.pad(cr, ((0, 0), (0, 0), (0, HWp - HW)))
+    kernel = functools.partial(_kernel, H=H, W=W, Lb=Lb)
     out = pl.pallas_call(
         kernel,
-        grid=(N,),
+        grid=(N, HWp // Lb),
         in_specs=[
-            pl.BlockSpec((1, H, W, K1), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, K1, Lb), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K1, 2), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 2, K1), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, W, 2), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, 2, Lb), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, H, W, 2), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, 2, Lb), lambda i, j: (i, 0, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N, H, W, 2), logits.dtype),
+        out_shape=jax.ShapeDtypeStruct((N, 2, HWp), logits.dtype),
         interpret=interpret,
-    )(
-        logits.reshape(N, H, W, K1),
-        diff.reshape(N, K1, 2),
-        corr.reshape(N, H, W, 2),
-    )
-    return out.reshape(B, D, H, W, 2)
+    )(lg, diff.reshape(N, K1, 2).swapaxes(1, 2), cr)
+    return out[:, :, :HW].swapaxes(1, 2).reshape(B, D, H, W, 2)
 
 
 def dense_motion_combine_reference(logits, diff, corr):

@@ -23,7 +23,8 @@ from jax.experimental.pallas import tpu as pltpu
 from monkeynet_tpu.ops.grid import mat2_smallest_singular
 
 
-def _kernel(logits_ref, out_ref, *, H, W, temperature, with_var):
+def _kernel(logits_ref, mx_ref, my_ref, vxx_ref, vxy_ref, vyy_ref, *, H, W,
+            temperature, with_var):
     x = logits_ref[0].astype(jnp.float32) / temperature  # (H, W)
     x = x - jnp.max(x)
     p = jnp.exp(x)
@@ -38,15 +39,18 @@ def _kernel(logits_ref, out_ref, *, H, W, temperature, with_var):
     mx = jnp.sum(p * gx)
     my = jnp.sum(p * gy)
 
+    # Five 1-D SMEM outputs indexed by program id. 1-D rather than a packed
+    # (N, 5) table: SMEM pads the trailing dim to 128 lanes, so the packed
+    # form costs 64x the memory and overflows on long transfer chunks.
     i = pl.program_id(0)
-    out_ref[i, 0] = mx
-    out_ref[i, 1] = my
+    mx_ref[i] = mx
+    my_ref[i] = my
     if with_var:
         dx = gx - mx
         dy = gy - my
-        out_ref[i, 2] = jnp.sum(p * dx * dx)
-        out_ref[i, 3] = jnp.sum(p * dx * dy)
-        out_ref[i, 4] = jnp.sum(p * dy * dy)
+        vxx_ref[i] = jnp.sum(p * dx * dx)
+        vxy_ref[i] = jnp.sum(p * dx * dy)
+        vyy_ref[i] = jnp.sum(p * dy * dy)
 
 
 def gaussian2kp_pallas(
@@ -68,18 +72,19 @@ def gaussian2kp_pallas(
     kernel = functools.partial(
         _kernel, H=H, W=W, temperature=temperature, with_var=with_var
     )
-    out = pl.pallas_call(
+    vec = jax.ShapeDtypeStruct((N,), jnp.float32)
+    outs = pl.pallas_call(
         kernel,
         grid=(N,),
         in_specs=[
             pl.BlockSpec((1, H, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((N, 5), jnp.float32),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 5,
+        out_shape=[vec] * 5,
         interpret=interpret,
     )(planes)
 
-    stats = out.reshape(B, D, K, 5).astype(logits.dtype)
+    stats = jnp.stack(outs, axis=-1).reshape(B, D, K, 5).astype(logits.dtype)
     kp = {"mean": stats[..., :2]}
     if kp_variance == "matrix":
         var = jnp.stack(

@@ -71,7 +71,7 @@ def grid_sample(image, grid):
     return out
 
 
-def warp_video(source, grid):
+def warp_video(source, grid, train: bool = False):
     """Warp a single-frame source with a per-frame sampling grid.
 
     This is the framework's "3D warp trick": the source has one frame and the
@@ -79,12 +79,14 @@ def warp_video(source, grid):
     to per-output-frame 2D bilinear sampling of the single source frame
     (reference behavior: modules/generator.py:51-58 with T=1 input).
 
-    With MONKEYNET_PALLAS=1 the sample runs through the Pallas one-hot-matmul
-    gather kernel (ops/pallas/warp.py) instead of the XLA gather.
+    On TPU, eval-path warps run through the Pallas one-hot-matmul gather
+    kernel (ops/pallas/warp.py) instead of the XLA gather; training keeps XLA
+    unless MONKEYNET_PALLAS=1 (see ops/pallas/__init__.py for the rationale).
 
     Args:
       source: (B, H, W, C) the (single) source frame features.
       grid:   (B, D, Ho, Wo, 2) xy sampling grid per output frame.
+      train:  whether this is a training (differentiated) call.
 
     Returns:
       (B, D, Ho, Wo, C)
@@ -93,7 +95,7 @@ def warp_video(source, grid):
 
     B, D, Ho, Wo, _ = grid.shape
     sampler = grid_sample
-    if pallas_pkg.enabled("warp"):
+    if pallas_pkg.enabled("warp", train):
         from monkeynet_tpu.ops.pallas.warp import grid_sample_pallas
 
         sampler = grid_sample_pallas

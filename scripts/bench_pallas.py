@@ -19,16 +19,20 @@ import json
 import time
 
 
-def _timeit(jax, fn, *args, runs=5):
+def _timeit(jax, fn, *args, runs=30):
+    """Pipelined timing: queue `runs` dispatches, block once at the end, so
+    the ~26 ms tunnel dispatch latency amortizes instead of dominating (a
+    per-call block would measure latency, not kernel time)."""
     out = fn(*args)
     jax.block_until_ready(out)
-    times = []
-    for _ in range(runs):
+    best = float("inf")
+    for _ in range(3):
         t0 = time.perf_counter()
-        out = fn(*args)
+        for _ in range(runs):
+            out = fn(*args)
         jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    return min(times)
+        best = min(best, (time.perf_counter() - t0) / runs)
+    return best
 
 
 def bench_size(jax, jnp, S, D, K=10, B=1):
@@ -85,6 +89,19 @@ def bench_size(jax, jnp, S, D, K=10, B=1):
     t_ref = _timeit(jax, ref, img, grid)
     t_pal = _timeit(jax, pal, img, grid)
     results.append(("grid_sample", t_ref, t_pal))
+
+    # fwd+bwd (the train-path cost: XLA's backward is a scatter-add)
+    ref_g = jax.jit(
+        jax.grad(lambda i, g: jnp.sum(grid_sample(i, g) ** 2), argnums=(0, 1))
+    )
+    pal_g = jax.jit(
+        jax.grad(
+            lambda i, g: jnp.sum(grid_sample_pallas(i, g) ** 2), argnums=(0, 1)
+        )
+    )
+    t_ref = _timeit(jax, ref_g, img, grid)
+    t_pal = _timeit(jax, pal_g, img, grid)
+    results.append(("grid_sample_fwd_bwd", t_ref, t_pal))
 
     # --- dense-motion combine ---
     K1 = K + 1
