@@ -143,16 +143,19 @@ def train(config, log_dir, dataset, checkpoint=None, seed=0, num_devices=1,
 
             from flax import serialization
 
-            logger.log_epoch(
-                epoch,
-                {
+            # Lazy payload: materializing the full train state is a large
+            # device->host fetch; the closure runs only on epochs the Logger
+            # actually checkpoints (cpk_freq_epoch) and at exit.
+            def payload(state=state, epoch=epoch, it=it):
+                return {
                     "state": serialization.to_state_dict(
                         jax.tree.map(np.asarray, state)
                     ),
                     "epoch": epoch,
                     "it": it,
-                },
-            )
+                }
+
+            logger.log_epoch(epoch, payload)
     return state
 
 

@@ -74,7 +74,13 @@ class Logger:
     def save_cpk(self):
         if self.payload is None:
             return
-        payload = dict(self.payload)
+        # The payload may be a zero-arg callable (lazy): the train loop passes
+        # a closure so the full train state is only materialized device->host
+        # on epochs that actually checkpoint — fetching a multi-hundred-MB
+        # state every epoch dominates wall-clock on 1-step-per-epoch recipes
+        # (actions: 57 videos / batch 32) over the tunneled backend.
+        payload = self.payload() if callable(self.payload) else self.payload
+        payload = dict(payload)
         payload["epoch"] = self.epoch
         payload["it"] = self.it
         path = os.path.join(
@@ -104,7 +110,9 @@ class Logger:
             if inp is not None and out is not None:
                 self.visualize_rec(inp, out)
 
-    def log_epoch(self, epoch: int, payload: Dict):
+    def log_epoch(self, epoch: int, payload):
+        """payload: checkpoint dict, or a zero-arg callable returning one
+        (evaluated only when a checkpoint is actually written)."""
         self.epoch = epoch
         self.payload = payload
         if epoch % self.cpk_freq == 0:

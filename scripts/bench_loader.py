@@ -41,15 +41,20 @@ def main():
         dataset, batch_size=bs, shuffle=True, num_workers=args.workers
     )
 
-    # Warm one batch (cache fill, thread spin-up), then time.
+    # Warm one batch (cache fill, thread spin-up), then time. Re-iterate the
+    # loader across epochs so short datasets (actions: 1 batch/epoch) still
+    # measure `--batches` batches.
     it = iter(loader)
     next(it)
     t0 = time.perf_counter()
     n = 0
-    for batch in it:
-        n += 1
-        if n >= args.batches:
-            break
+    while n < args.batches:
+        for batch in it:
+            n += 1
+            if n >= args.batches:
+                break
+        else:
+            it = iter(loader)
     dt = time.perf_counter() - t0
     print(
         f"loader: {n / dt:.2f} batches/s ({n * bs / dt:.1f} items/s) "
