@@ -135,6 +135,23 @@ def main():
             combos.append((None if d == "none" else d, r == "true"))
 
     log_root = tempfile.mkdtemp(prefix="ex256_log_")
+    if len(combos) > 1:
+        # One combo per process: running several 256^2 train programs in one
+        # process wedged the tunneled backend (the second combo died with a
+        # generic FAILED_PRECONDITION even at sizes that run fine fresh).
+        import subprocess
+        import sys as _sys
+
+        for dtype, remat in combos:
+            spec = f"{dtype or 'none'}:{'true' if remat else 'false'}"
+            subprocess.run(
+                [_sys.executable, os.path.abspath(__file__),
+                 "--steps", str(args.steps), "--batch", str(args.batch),
+                 "--data_dir", root, "--combos", spec],
+                check=False,
+            )
+        return
+
     for dtype, remat in combos:
         res = run_combo(config, dataset, args.steps, dtype, remat, log_root)
         print(json.dumps(res), flush=True)
