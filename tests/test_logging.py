@@ -51,3 +51,28 @@ def test_visualizer_grids():
     out["kp_norm"] = {"mean": kp}
     grid = vis.visualize_transfer(video, source, out)
     assert grid.shape == (D, B * H, 6 * W, 3)
+
+
+def test_logger_checkpoint_payload_is_lazy(tmp_path):
+    """The epoch payload may be a closure; it must be evaluated ONLY on
+    checkpointing epochs and at exit — materializing the full train state
+    every epoch is a multi-hundred-MB device fetch that dominated wall-clock
+    on 1-step-per-epoch recipes (actions)."""
+    from monkeynet_tpu.utils.logger import Logger
+
+    calls = []
+
+    def make_payload(epoch):
+        def payload():
+            calls.append(epoch)
+            return {"state": {"w": np.zeros(2)}, "epoch": epoch, "it": epoch}
+
+        return payload
+
+    log_dir = str(tmp_path / "lazy")
+    with Logger(log_dir=log_dir, log_freq_iter=1, cpk_freq_epoch=100) as logger:
+        for epoch in range(1, 6):  # 1..5: none hit the freq boundary
+            logger.log_epoch(epoch, make_payload(epoch))
+        assert calls == []  # nothing materialized mid-training
+    assert calls == [5]  # exit checkpoint materialized the last payload once
+    assert glob.glob(os.path.join(log_dir, "*-checkpoint.msgpack"))
