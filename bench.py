@@ -146,17 +146,19 @@ def _bench_train(jax, jnp, config):
             rng.rand(TRAIN_BATCH, 1, H, W, 3).astype(np.float32)),
     }
 
-    flops_per_step = None
-    try:
-        flops_per_step = _flops_of(step.lower(state, batch).compile())
-    except Exception:
-        pass
+    # One AOT compile serves both the FLOP count and the timed loop — the
+    # fused GAN step costs minutes to compile on this backend, and a separate
+    # `step(state, batch)` jit call would compile a second executable (AOT
+    # results don't populate the jit dispatch cache; only the persistent disk
+    # cache would soften the repeat).
+    compiled = step.lower(state, batch).compile()
+    flops_per_step = _flops_of(compiled)
 
-    state, out = step(state, batch)  # compile + warmup
+    state, out = compiled(state, batch)  # warmup
     jax.block_until_ready(out["metrics"])
     t0 = time.perf_counter()
     for _ in range(TRAIN_STEPS):
-        state, out = step(state, batch)
+        state, out = compiled(state, batch)
     jax.block_until_ready(out["metrics"])
     sps = TRAIN_STEPS / (time.perf_counter() - t0)
     return sps, flops_per_step

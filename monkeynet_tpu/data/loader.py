@@ -6,12 +6,14 @@ batch is always being prepared while the current step runs, so the TPU never
 waits on PNG decode. Augmentation is cv2/PIL/numpy (GIL-released C loops), so
 threads scale well enough at these image sizes.
 
-Memory is bounded: at most `prefetch` decoded batches exist at any moment
-(a semaphore gates workers *before* they claim a task, so the in-flight set is
-always the lowest-indexed pending batches — no deadlock, no unbounded results
-dict). The consumer blocks on a condition variable, not a poll loop. Every
-item gets its own seeded RNG, so augmentation randomness is independent of
-batch composition and worker scheduling.
+Memory is bounded: at most `prefetch + num_workers - 1` decoded batches exist
+at any moment (a semaphore gates workers *before* they claim a task, so the
+in-flight set is always the lowest-indexed pending batches — no deadlock, no
+unbounded results dict; the extra num_workers-1 lets every worker keep
+decoding while `prefetch` finished batches wait). The consumer blocks on a
+condition variable, not a poll loop. Every item gets its own seeded RNG, so
+augmentation randomness is independent of batch composition and worker
+scheduling.
 """
 
 from __future__ import annotations

@@ -56,3 +56,8 @@ def enabled(kernel: str = "warp", train: bool = False) -> bool:
     if env == "1":
         return True
     return kernel in _DEFAULT_ON and not train and _on_tpu()
+
+
+def pad_to(n: int, m: int) -> int:
+    """Round n up to the next multiple of m (block/tile padding helper)."""
+    return ((n + m - 1) // m) * m

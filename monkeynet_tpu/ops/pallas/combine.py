@@ -31,6 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from monkeynet_tpu.ops.pallas import pad_to
+
 # Pixels per kernel step: (K+1, 32768) f32 logits block is 1.4 MB at K=10.
 LANE_TILE = 32768
 
@@ -55,16 +57,12 @@ def _kernel(logits_ref, diff_ref, corr_ref, out_ref, *, H, W, Lb):
     out_ref[0] = (grid + rel).astype(out_ref.dtype)
 
 
-def _pad_to(n, m):
-    return ((n + m - 1) // m) * m
-
-
 def _forward(logits, diff, corr, interpret=False):
     B, D, H, W, K1 = logits.shape
     N = B * D
     HW = H * W
     Lb = min(HW, LANE_TILE)
-    HWp = _pad_to(HW, Lb)
+    HWp = pad_to(HW, Lb)
     lg = logits.reshape(N, HW, K1).swapaxes(1, 2)  # (N, K1, HW)
     cr = corr.reshape(N, HW, 2).swapaxes(1, 2)  # (N, 2, HW)
     if HWp != HW:

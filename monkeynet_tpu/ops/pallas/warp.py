@@ -37,6 +37,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from monkeynet_tpu.ops.pallas import pad_to
+
 # Output pixels per kernel step; multiple of the fp32 lane tile width.
 TILE = 256
 # Source-pixel rows of A materialized per slab (2 MB per (CHUNK_COLS, TILE)
@@ -154,10 +156,6 @@ def _dgrid_kernel(src_ref, grid_ref, dout_ref, dgrid_ref, *, H, W):
     ).astype(dgrid_ref.dtype)
 
 
-def _pad_to(n, m):
-    return ((n + m - 1) // m) * m
-
-
 def grid_sample_pallas(image, grid):
     """Drop-in for ops.sampling.grid_sample: image (B, H, W, C),
     grid (B, Ho, Wo, 2) -> (B, Ho, Wo, C).
@@ -187,7 +185,7 @@ def grid_sample_pallas(image, grid):
 
         return grid_sample(image, grid).astype(in_dtype)
     N = Ho * Wo
-    Np = _pad_to(N, TILE)
+    Np = pad_to(N, TILE)
     grid_flat = grid.reshape(B, N, 2)
     if Np != N:
         grid_flat = jnp.pad(

@@ -79,9 +79,11 @@ def warp_video(source, grid, train: bool = False):
     to per-output-frame 2D bilinear sampling of the single source frame
     (reference behavior: modules/generator.py:51-58 with T=1 input).
 
-    On TPU, eval-path warps run through the Pallas one-hot-matmul gather
-    kernel (ops/pallas/warp.py) instead of the XLA gather; training keeps XLA
-    unless MONKEYNET_PALLAS=1 (see ops/pallas/__init__.py for the rationale).
+    With MONKEYNET_PALLAS=1 the warp runs through the Pallas one-hot-matmul
+    gather kernel (ops/pallas/warp.py) instead of the XLA gather; the default
+    is XLA on every path (see ops/pallas/__init__.py for the measured
+    keep/retire rationale). The `train` flag reaches the per-kernel gate so
+    a future default can differ per path.
 
     Args:
       source: (B, H, W, C) the (single) source frame features.

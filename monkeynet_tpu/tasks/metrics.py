@@ -31,8 +31,12 @@ from monkeynet_tpu.models.blocks import Encoder
 
 def kp_to_pixels(mean: np.ndarray, image_shape) -> np.ndarray:
     """Map kp means from [-1, 1] (xy order, as produced by gaussian2kp) to
-    pixel coordinates, matching the visualizer's mapping
-    (reference logger.py:97-106: (kp + 1) / 2 * size)."""
+    pixel coordinates using the coordinate-grid convention the kp were
+    produced under: (kp + 1) / 2 * (size - 1), the exact inverse of
+    make_coordinate_grid (ops/grid.py), so a kp sitting on pixel p maps back
+    to exactly p. (The reference visualizer's (kp + 1) / 2 * size,
+    logger.py:97-106, is off by half a pixel at the edges — fine for drawing
+    dots, but AKD uses the exact inverse.)"""
     h, w = image_shape[0], image_shape[1]
     mean = np.asarray(mean)
     out = np.empty_like(mean)

@@ -115,6 +115,16 @@ def train(config, log_dir, dataset, checkpoint=None, seed=0, num_devices=1,
                     "video": jnp.asarray(batch["video"]),
                 }
                 state, out = step_fn(state, x)
+                # Re-stage the exit-checkpoint closure over the FRESH state
+                # every step: step_fn donates its input state's buffers, so a
+                # closure captured at the previous epoch boundary would hold
+                # deleted arrays by the time an interrupt unwinds into the
+                # Logger's emergency save. The newest state is only donated
+                # when the NEXT step dispatches, so an interrupt between
+                # steps (the common case) checkpoints cleanly.
+                logger.stage_payload(
+                    _make_payload(state, epoch, it + 1)
+                )
                 if profile_span and it == profile_span[1]:
                     jax.block_until_ready(out["metrics"])
                     jax.profiler.stop_trace()
@@ -141,22 +151,27 @@ def train(config, log_dir, dataset, checkpoint=None, seed=0, num_devices=1,
                     logger.log_iter(it, names, out["metrics"])
                 it += 1
 
-            from flax import serialization
-
-            # Lazy payload: materializing the full train state is a large
-            # device->host fetch; the closure runs only on epochs the Logger
-            # actually checkpoints (cpk_freq_epoch) and at exit.
-            def payload(state=state, epoch=epoch, it=it):
-                return {
-                    "state": serialization.to_state_dict(
-                        jax.tree.map(np.asarray, state)
-                    ),
-                    "epoch": epoch,
-                    "it": it,
-                }
-
-            logger.log_epoch(epoch, payload)
+            logger.log_epoch(epoch, _make_payload(state, epoch, it))
     return state
+
+
+def _make_payload(state, epoch: int, it: int):
+    """Lazy checkpoint payload: materializing the full train state is a large
+    device->host fetch, so the closure runs only when the Logger actually
+    checkpoints (cpk_freq_epoch boundaries + exit)."""
+
+    def payload():
+        from flax import serialization
+
+        return {
+            "state": serialization.to_state_dict(
+                jax.tree.map(np.asarray, state)
+            ),
+            "epoch": epoch,
+            "it": it,
+        }
+
+    return payload
 
 
 def restore_train_state(template: TrainState, loaded) -> TrainState:

@@ -71,6 +71,11 @@ class Logger:
         )
 
     # ----------------------------------------------------------- checkpoints
+    def stage_payload(self, payload):
+        """Stage the checkpoint payload (dict or zero-arg callable) without
+        writing; the next save_cpk / exit checkpoint uses it."""
+        self.payload = payload
+
     def save_cpk(self):
         if self.payload is None:
             return
@@ -79,7 +84,17 @@ class Logger:
         # on epochs that actually checkpoint — fetching a multi-hundred-MB
         # state every epoch dominates wall-clock on 1-step-per-epoch recipes
         # (actions: 57 videos / batch 32) over the tunneled backend.
-        payload = self.payload() if callable(self.payload) else self.payload
+        try:
+            payload = (
+                self.payload() if callable(self.payload) else self.payload
+            )
+        except Exception as e:  # pragma: no cover - emergency-save path
+            # An exit save can race buffer donation (the staged state was
+            # handed to an in-flight train step when the exception unwound):
+            # losing the emergency checkpoint must not mask the original
+            # error.
+            print(f"warning: checkpoint payload unavailable, skipping ({e})")
+            return
         payload = dict(payload)
         payload["epoch"] = self.epoch
         payload["it"] = self.it
