@@ -49,33 +49,42 @@ def read_video(name: str, image_shape=(64, 64, 3)) -> np.ndarray:
         image = _ensure_rgb(np.asarray(imageio.imread(name)))
         image = _to_float32(image)
         h, w = image_shape[0], image_shape[1]
-        # Frame boundaries are set by the file's own (square) frame size —
-        # width = T * height by the stacked-frame convention (reference
-        # frames_dataset.py:14-29) — NOT by the requested shape; slicing a
-        # 128^2-frame file at 64 would shear frames together. Resize after
-        # slicing when the caller asks for a different size (e.g. demo.py
-        # --image_shape on the bundled 128^2 pair).
-        native = image.shape[0]
+        file_h = image.shape[0]
         total_w = image.shape[1]
-        if total_w % native != 0:
-            raise ValueError(
-                f"stacked-frame image width {total_w} not divisible by its "
-                f"height {native} ({name})"
+        if h == w and total_w % file_h == 0:
+            # Square request on a square-stacked file: frame boundaries are
+            # the file's OWN frame size (width = T x height, reference
+            # frames_dataset.py:14-29) — slicing a 128^2-frame file at the
+            # requested 64 would shear frames together. Slice natively, then
+            # resize when the caller asks for a different size (e.g. demo.py
+            # --image_shape on the bundled 128^2 pair).
+            native_size = file_h
+            num_frames = total_w // native_size
+            video = image.reshape(
+                native_size, num_frames, native_size, image.shape[-1]
             )
-        num_frames = total_w // native
-        # frames are stacked along width: frame t = image[:, t*n:(t+1)*n]
-        video = image.reshape(native, num_frames, native, image.shape[-1])
-        video = np.ascontiguousarray(np.transpose(video, (1, 0, 2, 3)))
-        if (native, native) != (h, w):
-            import cv2
+            video = np.ascontiguousarray(np.transpose(video, (1, 0, 2, 3)))
+            if native_size != h:
+                import cv2
 
-            video = np.stack(
-                [
-                    cv2.resize(f, (w, h), interpolation=cv2.INTER_AREA)
-                    for f in video
-                ]
+                video = np.stack(
+                    [
+                        cv2.resize(f, (w, h), interpolation=cv2.INTER_AREA)
+                        for f in video
+                    ]
+                )
+            return video
+        # Non-square frames (or a file whose width doesn't tile by its
+        # height): the reference's slice-by-image_shape semantics
+        # (frames_dataset.py:26-29) — frame t = image[:, t*w:(t+1)*w].
+        if file_h != h or total_w % w != 0:
+            raise ValueError(
+                f"stacked-frame image {image.shape[:2]} does not tile into "
+                f"{(h, w)} frames ({name})"
             )
-        return video
+        num_frames = total_w // w
+        video = image.reshape(h, num_frames, w, image.shape[-1])
+        return np.ascontiguousarray(np.transpose(video, (1, 0, 2, 3)))
     elif lower.endswith((".gif", ".mp4", ".mov")):
         frames = imageio.mimread(name, memtest=False)
         video = np.stack([_ensure_rgb(np.asarray(f)) for f in frames])

@@ -86,11 +86,14 @@ def read_stacked(path: str, frame_h: int, frame_w: int) -> Optional[np.ndarray]:
     w = ctypes.c_int()
     if lib.mk_probe(path.encode(), ctypes.byref(h), ctypes.byref(w)) != 0:
         return None
-    # Frame boundaries follow the stacked-frame convention: square frames of
-    # the file's own height. Decline anything but an exact square native-size
-    # request (the training hot path) so mismatched sizes take the Python
-    # fallback, which slices natively and then resizes — never shears.
-    if frame_h != frame_w or h.value != frame_h or w.value % frame_w != 0:
+    # Native decode only at the file's own frame size (the training hot
+    # path): the file height must equal the requested frame height and the
+    # width must tile into requested-width frames (square or not, matching
+    # the reference's slice-by-image_shape semantics,
+    # frames_dataset.py:26-29). Requests at a different size (e.g. demo.py
+    # reading the bundled 128^2 pair at 64^2) take the Python fallback,
+    # which slices at the native size and then resizes — never shears.
+    if h.value != frame_h or w.value % frame_w != 0:
         return None
     max_frames = w.value // frame_w
     out = np.empty((max_frames, frame_h, frame_w, 3), np.float32)

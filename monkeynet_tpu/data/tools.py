@@ -66,6 +66,63 @@ def preprocess_frames_dir(
         imageio.imsave(os.path.join(out_dir, f"{video}.{fmt}"), stacked)
 
 
+_REPO_DATA = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "data",
+)
+
+
+def preprocess_vox(
+    in_dir: str,
+    out_dir: str,
+    lists_dir: str = _REPO_DATA,
+    size: int = 256,
+    fmt: str = "jpg",
+) -> None:
+    """VoxCeleb1 frame dirs -> per-partition stacked-frame images.
+
+    Reference flow (data/preprocess_vox.py + data/{train,test}_vox1.txt):
+    identities are partitioned by the bundled lists; each
+    <in_dir>/<celeb>/1.6/<video>/<part>/ frame folder becomes one
+    <partition>/<celeb>-<video>-<part>.jpg stacked 256^2 image, warning on
+    sequences longer than 100 or shorter than 4 frames.
+    """
+    import cv2
+    import numpy as np
+    import imageio.v2 as imageio
+
+    for partition in ("train", "test"):
+        par_dir = os.path.join(out_dir, partition)
+        os.makedirs(par_dir, exist_ok=True)
+        list_path = os.path.join(lists_dir, f"{partition}_vox1.txt")
+        with open(list_path) as f:
+            celebs = f.read().splitlines()
+        for celeb in celebs:
+            celeb_dir = os.path.join(in_dir, celeb, "1.6")
+            if not os.path.isdir(celeb_dir):
+                continue
+            for video in sorted(os.listdir(celeb_dir)):
+                video_dir = os.path.join(celeb_dir, video)
+                for part in sorted(os.listdir(video_dir)):
+                    part_dir = os.path.join(video_dir, part)
+                    frames = sorted(os.listdir(part_dir))
+                    if len(frames) > 100 or len(frames) < 4:
+                        print(f"Warning sequence of len - {len(frames)}")
+                    resized = [
+                        cv2.resize(
+                            np.asarray(imageio.imread(os.path.join(part_dir, fr))),
+                            (size, size),
+                            interpolation=cv2.INTER_AREA,
+                        )
+                        for fr in frames
+                    ]
+                    result = np.concatenate(resized, axis=1)
+                    imageio.imsave(
+                        os.path.join(par_dir, f"{celeb}-{video}-{part}.{fmt}"),
+                        result,
+                    )
+
+
 def main():
     from argparse import ArgumentParser
 
@@ -80,9 +137,19 @@ def main():
     p.add_argument("out_dir")
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--format", default="jpg")
+    v = sub.add_parser("vox")
+    v.add_argument("in_dir", help="unzippedIntervalFaces/data directory")
+    v.add_argument("out_dir")
+    v.add_argument("--lists_dir", default=_REPO_DATA)
+    v.add_argument("--size", type=int, default=256)
+    v.add_argument("--format", default="jpg")
     args = parser.parse_args()
     if args.cmd == "split":
         split_train_test(args.root_dir, args.test_size, args.seed)
+    elif args.cmd == "vox":
+        preprocess_vox(
+            args.in_dir, args.out_dir, args.lists_dir, args.size, args.format
+        )
     else:
         preprocess_frames_dir(args.in_dir, args.out_dir, args.size, args.format)
 

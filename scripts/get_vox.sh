@@ -1,16 +1,24 @@
 #!/usr/bin/env bash
-# Fetch + preprocess VoxCeleb into the stacked-frame dataset layout
-# (capability parity with the reference's data/get_vox.sh + preprocess_vox.py).
+# Fetch + preprocess VoxCeleb1 into the stacked-frame dataset layout.
+# Capability parity with the reference's data/get_vox.sh + preprocess_vox.py:
+# downloads the dense-face-frames archive, then partitions identities by the
+# bundled lists (data/train_vox1.txt, data/test_vox1.txt) and writes one
+# 256^2 stacked-frame JPG per video part under <out_dir>/{train,test}/.
 #
-# Usage: scripts/get_vox.sh <vox_frames_dir> <out_dir> [size]
-#   <vox_frames_dir>: unpacked VoxCeleb1 frames (one folder per video),
-#     obtained per https://www.robots.ox.ac.uk/~vgg/data/voxceleb/ (the
-#     dataset requires registration; download txt lists are data/*_vox1.txt
-#     in the reference).
-#   <out_dir>: where <video>.jpg stacked-frame files are written.
+# Usage: scripts/get_vox.sh [out_dir] [size]
 set -euo pipefail
-IN_DIR=${1:?usage: get_vox.sh <vox_frames_dir> <out_dir> [size]}
-OUT_DIR=${2:?usage: get_vox.sh <vox_frames_dir> <out_dir> [size]}
-SIZE=${3:-256}
-python -m monkeynet_tpu.data.tools preprocess "$IN_DIR" "$OUT_DIR" --size "$SIZE"
-python -m monkeynet_tpu.data.tools split "$OUT_DIR" --test_size 0.1
+REPO_ROOT="$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd)"
+OUT_DIR=${1:-vox}
+SIZE=${2:-256}
+
+if [ ! -d unzippedIntervalFaces ]; then
+  wget www.robots.ox.ac.uk/~vgg/research/CMBiometrics/data/dense-face-frames.tar.gz
+  echo "Extracting..."
+  tar -xf dense-face-frames.tar.gz
+  rm -f dense-face-frames.tar.gz
+fi
+
+echo "Converting..."
+python -m monkeynet_tpu.data.tools vox unzippedIntervalFaces/data "$OUT_DIR" \
+  --lists_dir "$REPO_ROOT/data" --size "$SIZE"
+rm -rf unzippedIntervalFaces

@@ -35,6 +35,39 @@ def test_stacked_png_roundtrip(tmp_path):
     np.testing.assert_allclose(back, video, atol=1 / 255 + 1e-6)
 
 
+def test_stacked_png_native_slice_then_resize(tmp_path):
+    """A square 128^2-frame file read at 64^2 must slice at the file's own
+    frame size and resize — never shear (the demo.py --image_shape path)."""
+    video = np.zeros((3, 128, 128, 3), np.float32)
+    for t in range(3):  # distinct solid colors per frame survive any resize
+        video[t, ..., t] = 1.0
+    path = str(tmp_path / "v.png")
+    write_stacked_png(path, video)
+    back = read_video(path, image_shape=(64, 64, 3))
+    assert back.shape == (3, 64, 64, 3)
+    for t in range(3):
+        expected = np.zeros(3, np.float32)
+        expected[t] = 1.0
+        np.testing.assert_allclose(
+            back[t].reshape(-1, 3),
+            np.tile(expected, (64 * 64, 1)),
+            atol=1 / 255 + 1e-6,
+        )
+
+
+def test_stacked_png_non_square_frames(tmp_path):
+    """Non-square stacked frames use the reference's slice-by-image_shape
+    semantics (frames_dataset.py:26-29)."""
+    video = _video(T=4, H=12, W=20)
+    path = str(tmp_path / "v.png")
+    write_stacked_png(path, video)
+    back = read_video(path, image_shape=(12, 20, 3))
+    assert back.shape == video.shape
+    np.testing.assert_allclose(back, video, atol=1 / 255 + 1e-6)
+    with pytest.raises(ValueError):
+        read_video(path, image_shape=(12, 13, 3))
+
+
 def test_gif_roundtrip(tmp_path):
     video = (_video() > 0.5).astype(np.float32)  # binary-ish survives palette
     path = str(tmp_path / "v.gif")
@@ -130,6 +163,76 @@ def test_paired_dataset_random_and_csv(tmp_path):
     item = pairs2[0]
     assert item["driving_name"] == "001.png"
     assert item["source_name"] == "000.png"
+
+
+def test_paired_dataset_csv_filters_missing_videos(tmp_path):
+    """Pairs whose source or driving video is absent from the dataset are
+    dropped (reference frames_dataset.py:112), keeping CSV order."""
+    root = _make_dataset(tmp_path)
+    csv = tmp_path / "pairs.csv"
+    csv.write_text(
+        "source,driving\n"
+        "000.png,gone.png\n"  # driving missing -> dropped
+        "001.png,000.png\n"
+        "missing.png,001.png\n"  # source missing -> dropped
+        "002.png,001.png\n"
+    )
+    ds = FramesDataset(
+        root_dir=root, image_shape=(8, 8, 3), is_train=False, pairs_list=str(csv)
+    )
+    pairs = PairedDataset(ds, number_of_pairs=10)
+    assert len(pairs) == 2
+    assert pairs[0]["source_name"] == "001.png"
+    assert pairs[0]["driving_name"] == "000.png"
+    assert pairs[1]["source_name"] == "002.png"
+    assert pairs[1]["driving_name"] == "001.png"
+
+
+def test_preprocess_vox_partitions_by_identity_lists(tmp_path):
+    """The vox flow writes one stacked image per video part into the
+    partition given by the bundled identity lists (reference
+    data/preprocess_vox.py)."""
+    import imageio.v2 as imageio
+    from monkeynet_tpu.data.tools import preprocess_vox
+
+    lists = tmp_path / "lists"
+    lists.mkdir()
+    (lists / "train_vox1.txt").write_text("Celeb_A\nAbsent_Celeb\n")
+    (lists / "test_vox1.txt").write_text("Celeb_B\n")
+    raw = tmp_path / "unzipped"
+    for celeb, video, part in (
+        ("Celeb_A", "vid1", "p1"),
+        ("Celeb_A", "vid1", "p2"),
+        ("Celeb_B", "vid9", "p1"),
+    ):
+        d = raw / celeb / "1.6" / video / part
+        d.mkdir(parents=True)
+        for i in range(4):
+            imageio.imsave(
+                str(d / f"{i:03d}.png"), np.full((10, 12, 3), i * 30, np.uint8)
+            )
+    out = tmp_path / "vox"
+    preprocess_vox(str(raw), str(out), lists_dir=str(lists), size=8, fmt="png")
+    assert sorted(os.listdir(out / "train")) == [
+        "Celeb_A-vid1-p1.png",
+        "Celeb_A-vid1-p2.png",
+    ]
+    assert os.listdir(out / "test") == ["Celeb_B-vid9-p1.png"]
+    img = imageio.imread(str(out / "train" / "Celeb_A-vid1-p1.png"))
+    assert img.shape == (8, 32, 3)  # 4 frames of 8^2 stacked along width
+
+
+def test_bundled_vox_lists_present():
+    """The reference's VoxCeleb identity lists ship with the repo
+    (reference data/train_vox1.txt, data/test_vox1.txt)."""
+    from monkeynet_tpu.data.tools import _REPO_DATA
+
+    train = os.path.join(_REPO_DATA, "train_vox1.txt")
+    test = os.path.join(_REPO_DATA, "test_vox1.txt")
+    assert os.path.exists(train) and os.path.exists(test)
+    with open(train) as f:
+        names = f.read().splitlines()
+    assert len(names) == 939 and names[0] == "A.J._Buckley"
 
 
 def test_loader_deterministic_with_seed(tmp_path):
