@@ -47,7 +47,14 @@ class DataLoader:
         num_workers: int = 4,
         seed: int = 0,
         prefetch: int = 2,
+        num_shards: int = 1,
+        shard_index: int = 0,
     ):
+        """batch_size is the LOCAL batch; with num_shards > 1 (multi-host
+        data parallelism) every shard walks the same seed-keyed global
+        permutation and takes its contiguous slab of each global batch of
+        num_shards*batch_size, so the union of the shards' batches is exactly
+        the single-process global batch (same seed, same epoch)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -55,28 +62,37 @@ class DataLoader:
         self.num_workers = max(1, num_workers)
         self.seed = seed
         self.prefetch = max(1, prefetch)
+        self.num_shards = num_shards
+        self.shard_index = shard_index
+        if num_shards > 1 and not drop_last:
+            raise ValueError("sharded loading requires drop_last=True")
         self.epoch = 0
 
     def __len__(self):
         n = len(self.dataset)
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        global_bs = self.batch_size * self.num_shards
+        return n // global_bs if self.drop_last else -(-n // global_bs)
 
     def _batch_indices(self):
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
             np.random.default_rng(self.seed + self.epoch).shuffle(order)
-        stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
-        for i in range(0, stop, self.batch_size):
-            yield order[i : i + self.batch_size]
+        global_bs = self.batch_size * self.num_shards
+        stop = (n // global_bs) * global_bs if self.drop_last else n
+        for i in range(0, stop, global_bs):
+            lo = i + self.shard_index * self.batch_size
+            yield order[lo : lo + self.batch_size]
 
     def _load_batch(self, epoch: int, bi: int, idxs) -> dict:
         items = []
         for pos, j in enumerate(idxs):
-            # Per-item RNG: keyed by (seed, epoch, batch, position), so the
-            # augmentation stream of one item never depends on its batchmates
-            # or on which worker thread decoded it.
-            rng = np.random.default_rng((self.seed, epoch, bi, pos))
+            # Per-item RNG: keyed by (seed, epoch, batch, GLOBAL position),
+            # so the augmentation stream of one item never depends on its
+            # batchmates, on which worker thread decoded it, or on how the
+            # global batch is sharded across processes.
+            gpos = self.shard_index * self.batch_size + pos
+            rng = np.random.default_rng((self.seed, epoch, bi, gpos))
             try:
                 items.append(self.dataset.__getitem__(int(j), rng=rng))
             except TypeError:
@@ -122,14 +138,14 @@ class DataLoader:
                     results[bi] = batch
                     cond.notify_all()
 
-        threads = [
-            threading.Thread(target=worker, daemon=True)
-            for _ in range(min(self.num_workers, len(batches)))
-        ]
-        for t in threads:
-            t.start()
+        num_threads = min(self.num_workers, len(batches))
 
         def gen():
+            # Workers start lazily on first next(): an iterator that is
+            # created but never advanced spawns no threads (and therefore
+            # leaks none — stop_flag would otherwise never be set).
+            for _ in range(num_threads):
+                threading.Thread(target=worker, daemon=True).start()
             try:
                 for bi in range(len(batches)):
                     with cond:

@@ -54,7 +54,10 @@ def enabled(kernel: str = "warp", train: bool = False) -> bool:
     if env == "0":
         return False
     if env == "1":
-        return True
+        # Force-enable is a TPU-only bench knob: Mosaic kernels have no
+        # interpret fallback at the call sites, so dispatching them on a
+        # CPU/GPU backend would crash eval.
+        return _on_tpu()
     return kernel in _DEFAULT_ON and not train and _on_tpu()
 
 

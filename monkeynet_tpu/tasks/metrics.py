@@ -11,10 +11,17 @@ here. This module implements:
   keypoints detected on ground-truth frames vs on generated frames, distance
   in pixels. Self-consistent across runs of this framework and the exact
   keypoint geometry the model is trained on.
-- **AED** with the generator's appearance encoder as the embedding network
-  (deepest feature map, global-average-pooled) — a documented proxy for the
-  paper's external identity embedders (FaceNet etc.), which cannot be fetched
-  offline.
+- **AED** with a FROZEN, seed-fixed embedding network by default: the same
+  Encoder architecture with PRNGKey(0) weights, never trained — random
+  projections preserve relative distances, and because the embedder never
+  changes, AED is comparable across checkpoints and training runs of the
+  same config. The trained generator's own appearance encoder remains
+  available as an opt-in variant (`embedder="appearance"`,
+  config `reconstruction_params.aed_embedder: appearance`) but is
+  self-referential: it moves with the model it evaluates, so it is a
+  per-run regression signal, not a cross-run quality claim. Both are
+  documented proxies for the paper's external identity embedders (FaceNet
+  etc.), which cannot be fetched offline.
 """
 
 from __future__ import annotations
@@ -55,20 +62,41 @@ def akd(kp_gt: Dict, kp_pred: Dict, image_shape) -> float:
 
 
 class EmbeddingExtractor:
-    """Frame embeddings from the generator's appearance encoder: the deepest
-    feature map global-average-pooled to one vector per frame."""
+    """Frame embeddings: the deepest Encoder feature map global-average-pooled
+    to one vector per frame.
 
-    def __init__(self, config, gen_vars, chunk: int = 128):
+    embedder="frozen" (default): seed-fixed PRNGKey(0) weights, never
+    trained — checkpoint-independent, so AED values compare across runs.
+    embedder="appearance": the trained generator's appearance encoder
+    (requires gen_vars) — self-referential, per-run signal only.
+    """
+
+    def __init__(self, config, gen_vars=None, chunk: int = 128,
+                 embedder: str = "frozen"):
         gp = config["model_params"]["generator_params"]
         encoder = Encoder(
             gp["block_expansion"],
             num_blocks=gp["num_blocks"],
             max_features=gp["max_features"],
         )
-        variables = {
-            "params": gen_vars["params"]["appearance_encoder"],
-            "batch_stats": gen_vars["batch_stats"]["appearance_encoder"],
-        }
+        if embedder == "appearance":
+            if gen_vars is None:
+                raise ValueError("appearance embedder requires gen_vars")
+            variables = {
+                "params": gen_vars["params"]["appearance_encoder"],
+                "batch_stats": gen_vars["batch_stats"]["appearance_encoder"],
+            }
+        elif embedder == "frozen":
+            H, W, C = tuple(
+                config["dataset_params"].get("image_shape", (64, 64, 3))
+            )
+            dummy = jnp.zeros((1, 1, H, W, C), jnp.float32)
+            variables = jax.jit(
+                lambda r: encoder.init(r, dummy, False)
+            )(jax.random.PRNGKey(0))
+        else:
+            raise ValueError(f"unknown AED embedder: {embedder!r}")
+        self.embedder = embedder
         self.chunk = chunk
         self._run = jax.jit(
             lambda frames: encoder.apply(variables, frames, False)[-1].mean(

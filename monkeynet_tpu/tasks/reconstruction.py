@@ -83,10 +83,14 @@ def reconstruction(config, log_dir, dataset, checkpoint, num_devices: int = 1):
     )
     visualizer = Visualizer(**(config.get("visualizer_params") or {}))
     # Paper metrics (arXiv:1812.08861): AKD via our own kp detector on
-    # gt-vs-generated frames, AED via appearance-encoder embeddings (see
-    # tasks/metrics.py for the external-model caveat).
+    # gt-vs-generated frames, AED via a frozen seed-fixed embedder by default
+    # (checkpoint-independent; set reconstruction_params.aed_embedder:
+    # appearance for the generator's own encoder — see tasks/metrics.py).
     kp_extractor = KPExtractor(models["kp_detector"], kp_vars, mesh=mesh)
-    embedder = EmbeddingExtractor(config, gen_vars)
+    embedder = EmbeddingExtractor(
+        config, gen_vars,
+        embedder=config["reconstruction_params"].get("aed_embedder", "frozen"),
+    )
 
     num_videos = config["reconstruction_params"]["num_videos"]
     fmt = config["reconstruction_params"].get("format", ".gif")
@@ -134,5 +138,7 @@ def reconstruction(config, log_dir, dataset, checkpoint, num_devices: int = 1):
     }
     print("Reconstruction loss: %s" % metrics["l1"])
     print("AKD (self-detector, px): %s" % metrics["akd"])
-    print("AED (encoder-embedding proxy): %s" % metrics["aed"])
+    print(
+        "AED (%s-embedder proxy): %s" % (embedder.embedder, metrics["aed"])
+    )
     return metrics

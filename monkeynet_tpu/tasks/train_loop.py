@@ -40,13 +40,29 @@ def train(config, log_dir, dataset, checkpoint=None, seed=0, num_devices=1,
             f"num_devices {num_devices} for data-parallel training"
         )
 
+    # Multi-host: every process loads only its contiguous shard of the global
+    # batch (all processes walk the same seed-keyed permutation), and
+    # shard_host_local_batch assembles the global batch-sharded array
+    # (jax.make_array_from_process_local_data) so no host ever materializes
+    # the full batch. The assembled global batch is bit-identical to the
+    # single-process one.
+    process_count = jax.process_count()
+    if train_params["batch_size"] % process_count != 0:
+        raise ValueError(
+            f"batch_size {train_params['batch_size']} must be divisible by "
+            f"the process count {process_count}"
+        )
+    local_batch_size = train_params["batch_size"] // process_count
+
     loader = DataLoader(
         dataset,
-        batch_size=train_params["batch_size"],
+        batch_size=local_batch_size,
         shuffle=True,
         drop_last=True,
         num_workers=4,
         seed=seed,
+        num_shards=process_count,
+        shard_index=jax.process_index(),
     )
     steps_per_epoch = max(1, len(loader))
 
@@ -85,12 +101,19 @@ def train(config, log_dir, dataset, checkpoint=None, seed=0, num_devices=1,
         start_epoch = int(loaded.get("epoch", 0))
         it = int(loaded.get("it", 0))
         state = state.replace(step=jnp.asarray(it, jnp.int32))
+        # Continue the data stream, don't replay it: the shuffle order and
+        # per-item augmentation RNG are keyed by (seed, epoch), so a resumed
+        # run must pick up at the restored epoch to consume the same batch
+        # sequence as an uninterrupted run.
+        loader.epoch = start_epoch
 
+    mesh = None
     if num_devices > 1:
-        from monkeynet_tpu.parallel.mesh import make_sharded_train_step
+        from monkeynet_tpu.parallel.mesh import make_mesh, make_sharded_train_step
 
+        mesh = make_mesh(num_devices)
         step_fn = make_sharded_train_step(
-            models, train_params, optimizer, num_devices
+            models, train_params, optimizer, mesh=mesh
         )
     else:
         step_fn = jax.jit(
@@ -110,10 +133,17 @@ def train(config, log_dir, dataset, checkpoint=None, seed=0, num_devices=1,
             for batch in loader:
                 if profile_span and it == profile_span[0]:
                     jax.profiler.start_trace(profile_dir)
-                x = {
-                    "source": jnp.asarray(batch["source"]),
-                    "video": jnp.asarray(batch["video"]),
-                }
+                x = {"source": batch["source"], "video": batch["video"]}
+                if mesh is not None:
+                    # Explicit batch-axis placement; on multi-host runs each
+                    # process contributes its local shard of the global batch.
+                    from monkeynet_tpu.parallel.distributed import (
+                        shard_host_local_batch,
+                    )
+
+                    x = shard_host_local_batch(x, mesh)
+                else:
+                    x = jax.tree.map(jnp.asarray, x)
                 state, out = step_fn(state, x)
                 # Re-stage the exit-checkpoint closure over the FRESH state
                 # every step: step_fn donates its input state's buffers, so a

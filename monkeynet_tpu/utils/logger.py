@@ -76,7 +76,7 @@ class Logger:
         writing; the next save_cpk / exit checkpoint uses it."""
         self.payload = payload
 
-    def save_cpk(self):
+    def save_cpk(self, is_exit: bool = False):
         if self.payload is None:
             return
         # The payload may be a zero-arg callable (lazy): the train loop passes
@@ -84,17 +84,24 @@ class Logger:
         # on epochs that actually checkpoint — fetching a multi-hundred-MB
         # state every epoch dominates wall-clock on 1-step-per-epoch recipes
         # (actions: 57 videos / batch 32) over the tunneled backend.
-        try:
-            payload = (
-                self.payload() if callable(self.payload) else self.payload
-            )
-        except Exception as e:  # pragma: no cover - emergency-save path
-            # An exit save can race buffer donation (the staged state was
-            # handed to an in-flight train step when the exception unwound):
-            # losing the emergency checkpoint must not mask the original
-            # error.
-            print(f"warning: checkpoint payload unavailable, skipping ({e})")
-            return
+        if is_exit:
+            try:
+                payload = (
+                    self.payload() if callable(self.payload) else self.payload
+                )
+            except Exception as e:  # pragma: no cover - emergency-save path
+                # An exit save can race buffer donation (the staged state was
+                # handed to an in-flight train step when the exception
+                # unwound): losing the emergency checkpoint must not mask
+                # the original error. Scheduled epoch checkpoints (is_exit
+                # False) get no such net — a persistent serialization failure
+                # must raise, not silently disable checkpointing.
+                print(
+                    f"warning: checkpoint payload unavailable, skipping ({e})"
+                )
+                return
+        else:
+            payload = self.payload() if callable(self.payload) else self.payload
         payload = dict(payload)
         payload["epoch"] = self.epoch
         payload["it"] = self.it
@@ -109,7 +116,7 @@ class Logger:
 
     def __exit__(self, exc_type, exc_val, exc_tb):
         if self.payload is not None:
-            self.save_cpk()
+            self.save_cpk(is_exit=True)
         self.log_file.close()
 
     def log_iter(self, it: int, names, values, inp=None, out=None):

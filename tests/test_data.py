@@ -305,3 +305,60 @@ def test_loader_propagates_worker_errors(tmp_path):
     loader = DataLoader(Broken(), batch_size=2, num_workers=2)
     with pytest.raises(RuntimeError, match="decode exploded"):
         next(iter(loader))
+
+
+def test_loader_unconsumed_iterator_spawns_no_threads(tmp_path):
+    """Creating an iterator without advancing it must not start worker
+    threads (they would poll the slot semaphore for the process lifetime)."""
+    import threading
+
+    root = _make_dataset(tmp_path)
+    ds = FramesDataset(root_dir=root, image_shape=(8, 8, 3), is_train=False)
+    loader = DataLoader(ds, batch_size=2, num_workers=4)
+    before = threading.active_count()
+    it = iter(loader)
+    assert threading.active_count() == before  # lazy: nothing spawned yet
+    batch = next(it)  # first advance starts the workers and yields normally
+    assert batch["video"].shape[0] == 2
+    it.close()
+
+
+def test_loader_sharded_union_equals_global_batch(tmp_path):
+    """Multi-host sharding: every shard takes its contiguous slab of the
+    seed-keyed global permutation, so the union of the shards' batches is
+    exactly the single-process global batch (order included)."""
+    root = _make_dataset(tmp_path)
+    ds = FramesDataset(root_dir=root, image_shape=(8, 8, 3), is_train=False)
+    full = DataLoader(ds, batch_size=4, shuffle=True, seed=3, num_workers=1)
+    shards = [
+        DataLoader(
+            ds, batch_size=2, shuffle=True, seed=3, num_workers=1,
+            num_shards=2, shard_index=i,
+        )
+        for i in range(2)
+    ]
+    assert len(full) == len(shards[0]) == len(shards[1])
+    for bf, b0, b1 in zip(full, shards[0], shards[1]):
+        assert bf["name"] == b0["name"] + b1["name"]
+        np.testing.assert_array_equal(
+            bf["video"], np.concatenate([b0["video"], b1["video"]])
+        )
+
+
+def test_loader_resume_continues_stream(tmp_path):
+    """Setting loader.epoch to the resume epoch continues the shuffle stream:
+    a loader resumed at epoch 2 must draw the same orders as epochs 2+ of an
+    uninterrupted run (the reference replays epoch 0 — knowingly fixed)."""
+    root = _make_dataset(tmp_path)
+    ds = FramesDataset(root_dir=root, image_shape=(8, 8, 3), is_train=False)
+
+    def orders(loader, epochs):
+        return [[n for b in loader for n in b["name"]] for _ in range(epochs)]
+
+    uninterrupted = orders(
+        DataLoader(ds, batch_size=2, shuffle=True, seed=5, num_workers=1), 3
+    )
+    resumed = DataLoader(ds, batch_size=2, shuffle=True, seed=5, num_workers=1)
+    resumed.epoch = 2  # what train_loop does on resume
+    assert orders(resumed, 1) == uninterrupted[2:]
+    assert uninterrupted[0] != uninterrupted[1]  # epochs genuinely reshuffle

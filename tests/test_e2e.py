@@ -216,16 +216,31 @@ def test_demo_fixtures_shipped():
     assert source.shape[1:] == (128, 128, 3)
 
 
-def test_resume_from_checkpoint(trained, e2e_config, synth_dataset, tmp_path_factory):
-    """Resuming restores epoch/step and continues without error."""
+def test_resume_from_checkpoint(trained, e2e_config, synth_dataset, tmp_path_factory,
+                                monkeypatch):
+    """Resuming restores epoch/step, continues without error, AND continues
+    the data stream: the resumed run consumes the shuffle orders of the
+    restored epoch onward, not a replay of epoch 0 (the shuffle and per-item
+    augmentation RNG are keyed by seed+epoch — see loader-level
+    test_loader_resume_continues_stream for the order equality)."""
     import copy as _copy
 
+    import monkeynet_tpu.tasks.train_loop as tl
     from monkeynet_tpu.data.dataset import FramesDataset
-    from monkeynet_tpu.tasks.train_loop import train
 
+    epochs_drawn = []
+
+    class RecordingLoader(tl.DataLoader):
+        def __iter__(self):
+            epochs_drawn.append(self.epoch)
+            return super().__iter__()
+
+    monkeypatch.setattr(tl, "DataLoader", RecordingLoader)
     log_dir, cpk = trained
     config = _copy.deepcopy(e2e_config)
     config["train_params"]["num_epochs"] = 3  # one more epoch than trained
     dataset = FramesDataset(is_train=True, **config["dataset_params"])
-    state = train(config, log_dir, dataset, checkpoint=cpk, num_devices=1)
+    state = tl.train(config, log_dir, dataset, checkpoint=cpk, num_devices=1)
     assert int(state.step) > 0
+    assert epochs_drawn and epochs_drawn[0] > 0, epochs_drawn
+    assert epochs_drawn == list(range(epochs_drawn[0], 3))

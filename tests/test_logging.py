@@ -76,3 +76,22 @@ def test_logger_checkpoint_payload_is_lazy(tmp_path):
         assert calls == []  # nothing materialized mid-training
     assert calls == [5]  # exit checkpoint materialized the last payload once
     assert glob.glob(os.path.join(log_dir, "*-checkpoint.msgpack"))
+
+
+def test_scheduled_checkpoint_failure_raises(tmp_path):
+    """A broken payload must RAISE on a scheduled epoch checkpoint — only the
+    exit/emergency save (which can race buffer donation) swallows it."""
+    import pytest
+
+    def bad_payload():
+        raise RuntimeError("deleted buffer")
+
+    log_dir = str(tmp_path / "sched")
+    logger = Logger(log_dir=log_dir, log_freq_iter=1, cpk_freq_epoch=1)
+    logger.epoch = 1
+    logger.stage_payload(bad_payload)
+    with pytest.raises(RuntimeError, match="deleted buffer"):
+        logger.save_cpk()
+    # The exit path keeps the emergency-save net: no raise.
+    logger.save_cpk(is_exit=True)
+    logger.log_file.close()

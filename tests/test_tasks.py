@@ -176,3 +176,32 @@ def test_sobel_gradient_matches_reference():
     ours = sobel_image_gradient(jnp.asarray(img.transpose(0, 2, 3, 1)))
     ours = np.transpose(np.asarray(ours), (0, 3, 1, 2))
     np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_aed_frozen_embedder_is_checkpoint_independent():
+    """The default AED embedder has seed-fixed weights: embeddings must not
+    depend on the evaluated checkpoint, and two extractors built for the same
+    config must agree exactly (cross-run comparability)."""
+    import jax
+
+    from monkeynet_tpu.tasks.build import init_models
+    from monkeynet_tpu.tasks.metrics import EmbeddingExtractor
+    from .test_train import TINY_CONFIG
+
+    config = dict(TINY_CONFIG)
+    config["dataset_params"] = {"image_shape": [16, 16, 3]}
+    video = np.random.RandomState(0).rand(1, 3, 16, 16, 3).astype(np.float32)
+
+    frozen_a = EmbeddingExtractor(config, gen_vars=None)
+    frozen_b = EmbeddingExtractor(config, gen_vars=None)
+    np.testing.assert_array_equal(frozen_a(video), frozen_b(video))
+
+    # The appearance variant DOES move with the checkpoint (and is opt-in).
+    _, params, stats = init_models(config, jax.random.PRNGKey(1), (16, 16, 3))
+    gen_vars = {
+        "params": params["generator"], "batch_stats": stats["generator"]
+    }
+    appearance = EmbeddingExtractor(config, gen_vars, embedder="appearance")
+    assert not np.array_equal(frozen_a(video), appearance(video))
+    with pytest.raises(ValueError):
+        EmbeddingExtractor(config, gen_vars=None, embedder="appearance")
