@@ -4,39 +4,39 @@ Each kernel has a pure-jnp reference implementation in monkeynet_tpu.ops and
 a correctness diff harness in tests/test_pallas.py (values AND gradients,
 interpret mode) plus an on-chip compiled parity check (RESULTS.md).
 
-Gating (`enabled(kernel, train)`): ALL kernels are opt-in via
-MONKEYNET_PALLAS=1, a decision recorded from three layers of v5e measurement
-(RESULTS.md has the full tables):
+Gating (`enabled(kernel, train)`): per-kernel defaults in `_DEFAULT_ON`,
+set from three layers of v5e measurement per round (RESULTS.md has the
+tables).
 
-- Isolated f32 microbenches (pipelined timing, dispatch latency amortized):
-  `warp` beats the XLA gather at production sizes (fwd 2.2 -> 1.8 ms at 64^2,
-  13.1 -> 10.5 ms at 128^2 for 16-frame C=8 warps; fwd+bwd 5.8 -> 4.6 ms at
-  64^2 but 0.96x at 128^2); `heatmap` ~1.1-1.4x; `combine`/`softargmax` are a
-  wash (0.8-1.4x, within the ~±20% noise of these ~1 ms ops).
-- End-to-end eval: the production TransferEngine runs bf16, and these kernels
-  compute in f32 internally (sub-pixel coordinate precision + Mosaic bf16
-  matmul lowering limits), forfeiting the bf16 bandwidth halving XLA's fused
-  gather keeps: 3776 fps with XLA vs 3116 fps with kernels on — the
-  microbench win inverts at the engine level.
-- Train: the fused GAN step is not warp-bound (same 21.4 steps/s either way)
-  and differentiating through the slab-unrolled Mosaic VJP kernels inflated
-  the remote train-step compile from ~4 min to >50 min.
+Round-3 state: **warp is default-ON for eval AND train.** The round-2
+one-hot warp kernel lost the engine-level bf16 A/B (f32-internal, forfeited
+the bandwidth halving) and blew the train-graph Mosaic compile past 50 min
+(Python slab unroll), so round 2 shipped everything opt-in. The round-3
+SEPARABLE warp kernel (ops/pallas/warp.py: two thin (T, W)/(H, T) hat-weight
+matrices instead of a dense (HW, T) one-hot) removes both objections:
 
-The kernels stay maintained, parity-tested (values AND gradients, interpret
-mode + on-chip), and VMEM/SMEM-safe at 64^2-256^2 — they are the right
-starting point if a future f32 eval pipeline or a bf16-capable Mosaic matmul
-lowering shifts the tradeoff; `_DEFAULT_ON` flips a kernel on per-name when
-measurement justifies it.
+- operand dtype is preserved (bf16 matmuls, f32 accumulation), and the
+  engine-level A/B now goes the other way: taichi-64 bf16 transfer 3277 fps
+  (XLA gather) -> 4489 fps (kernel) on v5e;
+- compile is size-independent (~1 s per variant; no unroll), and the fused
+  GAN train step improves 20.9 -> 23.8 steps/s (warp backward 13.1 -> 3.8 ms
+  per 64^2x35 warp — the round-2 profile's scatter-add bottleneck).
 
-MONKEYNET_PALLAS=0 force-disables everything (belt and suspenders);
-MONKEYNET_PALLAS=1 force-enables everything, train included (bench/ablation
-use; kernels without a VJP still guard themselves behind `not train` at the
-call site).
+heatmap / softargmax / combine remain opt-in: their microbenches are within
+noise (0.8-1.4x) and the round-2 engine A/B showed no win; `_DEFAULT_ON`
+gains a kernel per-mode when measurement justifies it.
+
+MONKEYNET_PALLAS=0 force-disables everything; MONKEYNET_PALLAS=1
+force-enables everything on a TPU backend (bench/ablation knob; kernels
+without a VJP still guard themselves behind `not train` at the call site);
+MONKEYNET_PALLAS=<name>[,<name>...] force-enables exactly that subset
+(e.g. MONKEYNET_PALLAS=warp), for per-kernel attribution.
 """
 
 import os
 
-_DEFAULT_ON: frozenset = frozenset()
+# kernel name -> modes it is default-enabled in ("eval", "train").
+_DEFAULT_ON: dict = {"warp": ("eval", "train")}
 
 
 def _on_tpu() -> bool:
@@ -58,7 +58,10 @@ def enabled(kernel: str = "warp", train: bool = False) -> bool:
         # interpret fallback at the call sites, so dispatching them on a
         # CPU/GPU backend would crash eval.
         return _on_tpu()
-    return kernel in _DEFAULT_ON and not train and _on_tpu()
+    if env:  # comma-separated subset, e.g. "warp" or "warp,heatmap"
+        return kernel in {k.strip() for k in env.split(",")} and _on_tpu()
+    mode = "train" if train else "eval"
+    return mode in _DEFAULT_ON.get(kernel, ()) and _on_tpu()
 
 
 def pad_to(n: int, m: int) -> int:

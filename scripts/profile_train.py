@@ -42,6 +42,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--trace", default=None)
     ap.add_argument("--batch", type=int, default=B)
+    ap.add_argument("--bf16", action="store_true",
+                    help="train step with compute_dtype=bfloat16")
+    ap.add_argument("--remat", action="store_true")
     args = ap.parse_args()
 
     from monkeynet_tpu.utils.jax_setup import setup_jax
@@ -79,6 +82,10 @@ def main():
     results = {}
 
     # --- full train step ---
+    if args.bf16:
+        tp["compute_dtype"] = "bfloat16"
+    if args.remat:
+        tp["remat"] = True
     optimizer = make_optimizer(multistep_lr(tp["lr"], tp["epoch_milestones"], 100))
     state = create_train_state(params, stats, optimizer)
     step = jax.jit(make_train_step(models, tp, optimizer))

@@ -47,12 +47,11 @@ def test_warp_gradients_match_reference():
     np.testing.assert_allclose(np.asarray(dpl_g), np.asarray(dref_g), atol=1e-3)
 
 
-def test_warp_multi_slab_matches_reference():
-    """HW > CHUNK_COLS exercises the slabbed interpolation-matrix path (the
-    64^2+ production sizes; a dense (TILE, HW) matrix would OOM VMEM)."""
+def test_warp_production_size_matches_reference():
+    """A production-shaped plane (multiple of the lane width, several output
+    tiles) through the separable-kernel path."""
     from monkeynet_tpu.ops.pallas import warp as warp_mod
 
-    assert 48 * 48 > warp_mod.CHUNK_COLS
     img, grid = _data(B=1, H=48, W=48, C=3, Ho=8, Wo=8, seed=2)
     ref = grid_sample(img, grid)
     with pltpu.force_tpu_interpret_mode():
@@ -69,7 +68,10 @@ def test_warp_multi_slab_matches_reference():
     with pltpu.force_tpu_interpret_mode():
         dpl_i, dpl_g = jax.grad(loss_pl, argnums=(0, 1))(img, grid)
     np.testing.assert_allclose(np.asarray(dpl_i), np.asarray(dref_i), atol=1e-4)
-    np.testing.assert_allclose(np.asarray(dpl_g), np.asarray(dref_g), atol=1e-3)
+    # d_grid entries reach O(1e2); rtol covers f32 accumulation-order noise
+    np.testing.assert_allclose(
+        np.asarray(dpl_g), np.asarray(dref_g), atol=1e-3, rtol=1e-4
+    )
 
 
 def test_warp_oversized_plane_falls_back_to_xla():
@@ -77,7 +79,7 @@ def test_warp_oversized_plane_falls_back_to_xla():
     from monkeynet_tpu.ops.pallas.warp import grid_sample_pallas
 
     img, grid = _data(B=1, H=256, W=256, C=40, Ho=4, Wo=4, seed=3)
-    assert 256 * 256 * 40 * 4 > 4 * 1024 * 1024
+    assert 256 * 256 * 40 * 4 > 8 * 1024 * 1024
     ref = grid_sample(img, grid)
     out = grid_sample_pallas(img, grid)  # no interpret ctx: must not hit Mosaic
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
