@@ -135,6 +135,37 @@ def test_gaussian2kp_pallas_matches_reference(variance, clip):
         )
 
 
+def test_enabled_gating(monkeypatch):
+    """Per-kernel defaults + env overrides (ops/pallas/__init__.enabled)."""
+    import monkeynet_tpu.ops.pallas as pkg
+
+    monkeypatch.setattr(pkg, "_on_tpu", lambda: True)
+
+    monkeypatch.delenv("MONKEYNET_PALLAS", raising=False)
+    # warp defaults on for eval AND train; the other three stay opt-in
+    assert pkg.enabled("warp") and pkg.enabled("warp", train=True)
+    for k in ("heatmap", "softargmax", "combine"):
+        assert not pkg.enabled(k) and not pkg.enabled(k, train=True)
+
+    monkeypatch.setenv("MONKEYNET_PALLAS", "0")
+    assert not pkg.enabled("warp")
+
+    monkeypatch.setenv("MONKEYNET_PALLAS", "1")
+    assert pkg.enabled("heatmap", train=True)
+
+    # comma-separated subset force-enables exactly those kernels
+    monkeypatch.setenv("MONKEYNET_PALLAS", "heatmap, combine")
+    assert pkg.enabled("heatmap") and pkg.enabled("combine", train=True)
+    assert not pkg.enabled("warp")
+
+    # nothing dispatches Mosaic off-TPU, even force-enabled
+    monkeypatch.setattr(pkg, "_on_tpu", lambda: False)
+    monkeypatch.setenv("MONKEYNET_PALLAS", "1")
+    assert not pkg.enabled("warp")
+    monkeypatch.delenv("MONKEYNET_PALLAS")
+    assert not pkg.enabled("warp")
+
+
 def test_dense_motion_combine_forward_matches_reference():
     from monkeynet_tpu.ops.pallas.combine import (
         dense_motion_combine_pallas,
