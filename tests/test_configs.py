@@ -14,7 +14,7 @@ CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
 ALL_CONFIGS = sorted(glob.glob(os.path.join(CONFIG_DIR, "*.yaml")))
 
 # 256^2 vox inits are too slow for CPU CI; constructor-only for those.
-INIT_SMALL = {"shapes", "actions", "taichi", "nemo", "bair"}
+INIT_SMALL = {"shapes", "actions", "taichi", "nemo", "bair", "shapes-128"}
 
 
 @pytest.mark.parametrize("path", ALL_CONFIGS, ids=lambda p: os.path.basename(p))
@@ -31,6 +31,28 @@ def test_config_loads_and_builds(path):
         )
         assert set(params) == {"generator", "discriminator", "kp_detector"}
         assert params["generator"] and params["kp_detector"]
+
+
+def test_shapes128_fixture_reproducible():
+    """data/shapes128 is regenerable byte-for-byte from scripts/make_shapes128.py."""
+    import sys
+
+    import imageio
+    import numpy as np
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    fixture = os.path.join(root, "data", "shapes128", "train", "train00000.png")
+    if not os.path.exists(fixture):
+        pytest.skip("shapes128 fixture not present")
+    sys.path.insert(0, os.path.join(root, "scripts"))
+    try:
+        from make_shapes128 import render_video
+    finally:
+        sys.path.pop(0)
+    rng = np.random.default_rng(0)
+    frames = render_video(rng, 128, 32)
+    strip = frames.transpose(1, 0, 2, 3).reshape(128, 32 * 128, 3)
+    assert np.array_equal(strip, np.asarray(imageio.imread(fixture))[..., :3])
 
 
 def test_all_eight_datasets_covered():
