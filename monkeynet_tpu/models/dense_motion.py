@@ -31,10 +31,13 @@ from monkeynet_tpu.ops.sampling import resize_nearest
 
 
 def identity_deformation(source_image, kp_driving):
-    """Identity sampling grid (B, D, h, w, 2) — the dense-motion-less fallback."""
+    """Identity sampling grid (B, D, h, w, 2) — the dense-motion-less fallback.
+
+    Always f32: sampling coordinates are precision-critical under mixed
+    precision (see ops/gaussian.py policy)."""
     B, _, h, w, _ = source_image.shape
     D = kp_driving["mean"].shape[1]
-    grid = make_coordinate_grid((h, w), dtype=source_image.dtype)
+    grid = make_coordinate_grid((h, w), dtype=jnp.float32)
     return jnp.broadcast_to(grid[None, None], (B, D, h, w, 2))
 
 
@@ -111,15 +114,18 @@ class DenseMotion(nn.Module):
             # spatially constant: kp_source - kp_driving, bg slot zero. The
             # combine is therefore softmax(masks) @ displacement-table — an
             # MXU einsum (jnp) or one fused VMEM pass (Pallas).
+            # Sampling coordinates stay f32 under mixed precision (kp means
+            # are f32 by the ops/gaussian.py policy; bf16 would quantize the
+            # flow by ~0.25 px at 64^2). Conv features remain compute-dtype.
             kp_diff = kp_source["mean"] - kp_driving["mean"]  # (B, D, K, 2)
             kp_diff = jnp.concatenate(
                 [jnp.zeros_like(kp_diff[:, :, :1]), kp_diff], axis=2
-            ).astype(prediction.dtype)
+            ).astype(jnp.float32)
             logits = prediction[..., : self.num_kp + 1]
             if self.use_correction:
-                corr = prediction[..., -2:]
+                corr = prediction[..., -2:].astype(jnp.float32)
             else:
-                corr = jnp.zeros((B, D, h, w, 2), prediction.dtype)
+                corr = jnp.zeros((B, D, h, w, 2), jnp.float32)
             from monkeynet_tpu.ops import pallas as _pallas
 
             if _pallas.enabled("combine", train):
@@ -127,13 +133,15 @@ class DenseMotion(nn.Module):
                     dense_motion_combine_pallas,
                 )
 
-                return dense_motion_combine_pallas(logits, kp_diff, corr)
-            mask = jax.nn.softmax(logits, axis=-1)
+                return dense_motion_combine_pallas(
+                    logits.astype(jnp.float32), kp_diff, corr
+                )
+            mask = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
             relative = jnp.einsum("bdhwk,bdkc->bdhwc", mask, kp_diff) + corr
         else:
-            relative = jnp.zeros((B, D, h, w, 2), prediction.dtype)
+            relative = jnp.zeros((B, D, h, w, 2), jnp.float32)
             if self.use_correction:
-                relative = relative + prediction[..., -2:]
+                relative = relative + prediction[..., -2:].astype(jnp.float32)
 
         grid = make_coordinate_grid((h, w), dtype=relative.dtype)
         return relative + grid[None, None]

@@ -74,6 +74,10 @@ class MovementEmbedding(nn.Module):
         D = kp_driving["mean"].shape[1]
         Kb = self.num_kp + int(self.add_bg_feature_map)
 
+        # Keypoint math is f32 (ops/gaussian.py mixed-precision policy);
+        # the dense maps rejoin the conv path in the feature dtype.
+        feat_dtype = source_image.dtype
+
         parts = []  # each (B, D, H, W, Kb, c_i)
 
         if self.use_heatmap:
@@ -96,6 +100,7 @@ class MovementEmbedding(nn.Module):
                 heat = jnp.concatenate(
                     [jnp.zeros_like(heat[:, :, :1]), heat], axis=2
                 )
+            heat = heat.astype(feat_dtype)
             parts.append(jnp.transpose(heat, (0, 1, 3, 4, 2))[..., None])
 
         if self.use_difference or self.use_deformed_source_image:
@@ -107,7 +112,7 @@ class MovementEmbedding(nn.Module):
 
         if self.use_difference:
             diff_maps = jnp.broadcast_to(
-                kp_diff[:, :, None, None], (B, D, h, w, Kb, 2)
+                kp_diff.astype(feat_dtype)[:, :, None, None], (B, D, h, w, Kb, 2)
             )
             parts.append(diff_maps)
 

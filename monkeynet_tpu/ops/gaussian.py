@@ -16,6 +16,16 @@ Behavior parity targets in the reference repo (semantics, not code):
 
 Heatmap layouts: kp2gaussian returns (B, D, K, H, W); gaussian2kp consumes
 (B, D, H, W, K) — the natural channels-last output of the hourglass.
+
+Mixed-precision policy: keypoint math always runs in float32, whatever the
+compute dtype of the surrounding network. The covariance determinant
+`a*d - b*c` cancels catastrophically in bfloat16 (a non-positive det flips
+the mahalanobis exponent's sign and the heatmap exp overflows — measured:
+the actions recipe NaNs within 10 steps under compute_dtype=bfloat16), and
+keypoints are coordinates, where bf16's 8-bit mantissa quantizes positions
+by ~0.25 px at 64^2. These ops are a negligible share of step FLOPs, so both
+transforms upcast internally and return float32; callers cast dense outputs
+back to the feature dtype where they join conv inputs.
 """
 
 from __future__ import annotations
@@ -39,9 +49,10 @@ def kp2gaussian(kp, spatial_size, kp_variance="matrix"):
       kp_variance: 'matrix' | 'single' | float.
 
     Returns:
-      (B, D, K, H, W) heatmaps, each peaking at 1 at the keypoint mean.
+      (B, D, K, H, W) float32 heatmaps, each peaking at 1 at the keypoint
+      mean (computed in f32 regardless of input dtype — module docstring).
     """
-    mean = kp["mean"]  # (B, D, K, 2)
+    mean = kp["mean"].astype(jnp.float32)  # (B, D, K, 2)
     h, w = spatial_size
     grid = make_coordinate_grid((h, w), dtype=mean.dtype)  # (H, W, 2)
 
@@ -55,7 +66,7 @@ def kp2gaussian(kp, spatial_size, kp_variance="matrix"):
         # q = (d*dx^2 - (b + c)*dx*dy + a*dy^2) / det.
         # Fully VPU-friendly — no tiny 2x2 matmuls — and divides by det once
         # at the end for accuracy.
-        var = kp["var"]
+        var = kp["var"].astype(jnp.float32)
         a = var[..., 0, 0][:, :, :, None, None]
         b = var[..., 0, 1][:, :, :, None, None]
         c = var[..., 1, 0][:, :, :, None, None]
@@ -64,7 +75,8 @@ def kp2gaussian(kp, spatial_size, kp_variance="matrix"):
         under_exp = (d * dx * dx - (b + c) * dx * dy + a * dy * dy) / det
         out = jnp.exp(-0.5 * under_exp)
     elif kp_variance == "single":
-        var = kp["var"][..., 0, 0][:, :, :, None, None]  # (B, D, K, 1, 1)
+        var = kp["var"].astype(jnp.float32)
+        var = var[..., 0, 0][:, :, :, None, None]  # (B, D, K, 1, 1)
         out = jnp.exp(-0.5 * (dx * dx + dy * dy) / var)
     else:
         out = jnp.exp(-0.5 * (dx * dx + dy * dy) / kp_variance)
@@ -82,9 +94,10 @@ def gaussian2kp(heatmap, kp_variance="matrix", clip_variance=None):
         value from below by rescaling the matrix.
 
     Returns:
-      keypoint pytree {'mean', ['var']}.
+      keypoint pytree {'mean', ['var']}, always float32 (module docstring).
     """
     B, D, H, W, K = heatmap.shape
+    heatmap = heatmap.astype(jnp.float32)
     heatmap = heatmap + 1e-7  # eps floor applied after softmax, no renorm
     grid = make_coordinate_grid((H, W), dtype=heatmap.dtype)  # (H, W, 2)
 
@@ -111,8 +124,10 @@ def gaussian2kp(heatmap, kp_variance="matrix", clip_variance=None):
 
 
 def spatial_softmax(x, temperature=1.0):
-    """Softmax over the (H, W) dims of an (B, D, H, W, K) heatmap."""
+    """Softmax over the (H, W) dims of an (B, D, H, W, K) heatmap.
+
+    Computed and returned in float32 (feeds the soft-argmax reductions)."""
     B, D, H, W, K = x.shape
-    flat = x.reshape(B, D, H * W, K) / temperature
+    flat = x.astype(jnp.float32).reshape(B, D, H * W, K) / temperature
     flat = jax.nn.softmax(flat, axis=2)
     return flat.reshape(B, D, H, W, K)

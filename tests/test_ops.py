@@ -210,6 +210,40 @@ def test_gaussian2kp_matches_reference(variance, clip):
         )
 
 
+def test_kp_math_is_f32_under_bf16():
+    """Mixed-precision policy (ops/gaussian.py): kp math always runs f32.
+
+    The regression this guards: a bf16 covariance's determinant a*d - b*c
+    cancels catastrophically (can round to <= 0), flipping the mahalanobis
+    exponent's sign so kp2gaussian overflows — the actions recipe NaN'd
+    within 10 train steps under compute_dtype=bfloat16 before the policy."""
+    # A near-degenerate PSD covariance (what soft-argmax yields once the
+    # detector's heatmaps concentrate): f32 det is tiny-positive, but the
+    # same det computed in bf16 arithmetic rounds to exactly zero.
+    var32 = np.array(
+        [[0.01664637, 0.01596367], [0.01596367, 0.01538104]], np.float32
+    )
+    assert var32[0, 0] * var32[1, 1] - var32[0, 1] * var32[1, 0] > 0
+    vb = jnp.asarray(var32, jnp.bfloat16)
+    det_bf16 = vb[0, 0] * vb[1, 1] - vb[0, 1] * vb[1, 0]  # bf16 arithmetic
+    assert float(det_bf16) <= 0, "fixture must exhibit the bf16 cancellation"
+
+    # Once a var is STORED in bf16 the damage is done (upcasting cannot
+    # restore the cancelled bits) — so the policy keeps the kp pytree f32
+    # end-to-end: bf16 logits in, f32 mean/var out, and the rendered
+    # heatmap of the full bf16 pipeline stays finite and bounded.
+    logits = jnp.asarray(rand(1, 1, 16, 16, 3, seed=3) * 40.0, jnp.bfloat16)
+    soft = spatial_softmax(logits, 0.1)  # sharply peaked
+    assert soft.dtype == jnp.float32
+    kp = gaussian2kp(soft, "matrix")
+    assert kp["mean"].dtype == jnp.float32
+    assert kp["var"].dtype == jnp.float32
+    heat = kp2gaussian(kp, (16, 16), "matrix")
+    assert heat.dtype == jnp.float32
+    assert bool(jnp.isfinite(heat).all())
+    assert float(heat.max()) <= 1.0 + 1e-5
+
+
 def test_kp_gaussian_roundtrip():
     """kp -> gaussian -> (normalize) -> soft-argmax recovers the kp mean."""
     kp = {"mean": jnp.asarray([[[[0.3, -0.4], [-0.6, 0.1]]]], dtype=jnp.float32)}
