@@ -66,11 +66,15 @@ class FramesDataset:
     def __getitem__(self, idx, rng=None):
         name = os.path.join(self.root_dir, self.images[idx])
         if self.cache_videos and idx in self._cache:
-            video = self._cache[idx].astype(np.float32) / 255.0
+            # uint8 straight into the transform: conversion to float happens
+            # after frame selection (augmentation._to_float), so a T-frame
+            # cached video never pays a full-video float conversion per item.
+            video = self._cache[idx]
         else:
             video = read_video(name, image_shape=self.image_shape)
             if self.cache_videos:
                 self._cache[idx] = (video * 255.0 + 0.5).astype(np.uint8)
+                video = self._cache[idx]
         try:
             out = self.transform(video, rng=rng)
         except TypeError:
