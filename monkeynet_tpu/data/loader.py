@@ -73,11 +73,12 @@ class DataLoader:
         global_bs = self.batch_size * self.num_shards
         return n // global_bs if self.drop_last else -(-n // global_bs)
 
-    def _batch_indices(self):
+    def _batch_indices(self, epoch=None):
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
-            np.random.default_rng(self.seed + self.epoch).shuffle(order)
+            ep = self.epoch if epoch is None else epoch
+            np.random.default_rng(self.seed + ep).shuffle(order)
         global_bs = self.batch_size * self.num_shards
         stop = (n // global_bs) * global_bs if self.drop_last else n
         for i in range(0, stop, global_bs):
@@ -100,15 +101,34 @@ class DataLoader:
         return collate(items)
 
     def __iter__(self) -> Iterator[dict]:
-        batches = list(self._batch_indices())
-        epoch = self.epoch
-        self.epoch += 1
-        if not batches:
+        """One epoch at self.epoch (then bumps it) — a 1-epoch stream()."""
+        return (batch for _, batch in self.stream(1))
+
+    def stream(self, num_epochs: int) -> Iterator[tuple]:
+        """Yield (epoch, batch) across `num_epochs` epochs starting at
+        self.epoch, with ONE persistent worker pool.
+
+        Workers prefetch straight across epoch boundaries — on recipes with
+        few steps per epoch (actions: ONE) a per-epoch pool would pay thread
+        startup and a cold pipeline on every epoch, which measured as the
+        dominant train-loop overhead once the step itself got fast. Batch
+        content is identical to per-epoch iteration: the shuffle is keyed by
+        (seed, epoch) and per-item RNG by (seed, epoch, batch, position),
+        both independent of pool lifetime."""
+        start = self.epoch
+        epoch_batches = [
+            (ep, list(self._batch_indices(ep)))
+            for ep in range(start, start + num_epochs)
+        ]
+        self.epoch = start + num_epochs
+        total = sum(len(b) for _, b in epoch_batches)
+        if total == 0:
             return iter(())
 
         task_q: "queue.Queue" = queue.Queue()
-        for bi, idxs in enumerate(batches):
-            task_q.put((bi, idxs))
+        for ep, batches in epoch_batches:
+            for bi, idxs in enumerate(batches):
+                task_q.put((ep, bi, idxs))
 
         results: dict = {}
         cond = threading.Condition()
@@ -126,19 +146,19 @@ class DataLoader:
                     if stop_flag.is_set():
                         return
                 try:
-                    bi, idxs = task_q.get_nowait()
+                    ep, bi, idxs = task_q.get_nowait()
                 except queue.Empty:
                     slots.release()
                     return
                 try:
-                    batch = self._load_batch(epoch, bi, idxs)
+                    batch = self._load_batch(ep, bi, idxs)
                 except Exception as e:  # surface errors to the consumer
                     batch = e
                 with cond:
-                    results[bi] = batch
+                    results[(ep, bi)] = batch
                     cond.notify_all()
 
-        num_threads = min(self.num_workers, len(batches))
+        num_threads = min(self.num_workers, total)
 
         def gen():
             # Workers start lazily on first next(): an iterator that is
@@ -147,15 +167,16 @@ class DataLoader:
             for _ in range(num_threads):
                 threading.Thread(target=worker, daemon=True).start()
             try:
-                for bi in range(len(batches)):
-                    with cond:
-                        while bi not in results:
-                            cond.wait()
-                        batch = results.pop(bi)
-                    slots.release()  # consumed: let a worker start the next
-                    if isinstance(batch, Exception):
-                        raise batch
-                    yield batch
+                for ep, batches in epoch_batches:
+                    for bi in range(len(batches)):
+                        with cond:
+                            while (ep, bi) not in results:
+                                cond.wait()
+                            batch = results.pop((ep, bi))
+                        slots.release()  # consumed: a worker starts the next
+                        if isinstance(batch, Exception):
+                            raise batch
+                        yield ep, batch
             finally:
                 stop_flag.set()
                 with cond:

@@ -156,6 +156,13 @@ def make_train_step(
 
     def loss_fn(params, batch_stats, batch):
         params = cast_compute(params)
+        # uint8 feed (train_loop feed_dtype): rescale on-device to the
+        # compute dtype — the batch crosses host->device at 1/4 the bytes.
+        batch = {
+            k: (v.astype(compute_dtype or jnp.float32) / 255.0
+                if v.dtype == jnp.uint8 else v)
+            for k, v in batch.items()
+        }
         batch = cast_compute(batch)
         source, video = batch["source"], batch["video"]
 

@@ -129,59 +129,76 @@ def train(config, log_dir, dataset, checkpoint=None, seed=0, num_devices=1,
         **log_params,
     ) as logger:
         profile_span = (10, 20) if profile_dir else None
-        for epoch in range(start_epoch, train_params["num_epochs"]):
-            for batch in loader:
-                if profile_span and it == profile_span[0]:
-                    jax.profiler.start_trace(profile_dir)
-                x = {"source": batch["source"], "video": batch["video"]}
-                if mesh is not None:
-                    # Explicit batch-axis placement; on multi-host runs each
-                    # process contributes its local shard of the global batch.
-                    from monkeynet_tpu.parallel.distributed import (
-                        shard_host_local_batch,
-                    )
-
-                    x = shard_host_local_batch(x, mesh)
-                else:
-                    x = jax.tree.map(jnp.asarray, x)
-                state, out = step_fn(state, x)
-                # Re-stage the exit-checkpoint closure over the FRESH state
-                # every step: step_fn donates its input state's buffers, so a
-                # closure captured at the previous epoch boundary would hold
-                # deleted arrays by the time an interrupt unwinds into the
-                # Logger's emergency save. The newest state is only donated
-                # when the NEXT step dispatches, so an interrupt between
-                # steps (the common case) checkpoints cleanly.
-                logger.stage_payload(
-                    _make_payload(state, epoch, it + 1)
+        # uint8 feed: ship the batch to the device as uint8 (4x less
+        # host->device traffic than f32; the jitted step rescales to the
+        # compute dtype on-device). The sources are 8-bit media, so the
+        # only loss is re-quantizing augmentation interpolants.
+        feed_uint8 = train_params.get("feed_dtype", "float32") == "uint8"
+        epoch_steps = 0
+        # ONE persistent worker pool across all epochs (loader.stream):
+        # per-epoch pools paid thread startup + a cold prefetch pipeline
+        # every epoch, the dominant loop overhead on 1-step-per-epoch
+        # recipes like actions.
+        for epoch, batch in loader.stream(
+            train_params["num_epochs"] - start_epoch
+        ):
+            if profile_span and it == profile_span[0]:
+                jax.profiler.start_trace(profile_dir)
+            x = {"source": batch["source"], "video": batch["video"]}
+            if feed_uint8:
+                x = {
+                    k: (np.clip(v, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+                    for k, v in x.items()
+                }
+            if mesh is not None:
+                # Explicit batch-axis placement; on multi-host runs each
+                # process contributes its local shard of the global batch.
+                from monkeynet_tpu.parallel.distributed import (
+                    shard_host_local_batch,
                 )
-                if profile_span and it == profile_span[1]:
-                    jax.block_until_ready(out["metrics"])
-                    jax.profiler.stop_trace()
-                    profile_span = None
 
-                if it % logger.log_freq == 0:
-                    # Materialize visuals only on log steps.
-                    from monkeynet_tpu.tasks.train import split_kp
+                x = shard_host_local_batch(x, mesh)
+            else:
+                x = jax.tree.map(jnp.asarray, x)
+            state, out = step_fn(state, x)
+            # Re-stage the exit-checkpoint closure over the FRESH state
+            # every step: step_fn donates its input state's buffers, so a
+            # closure captured at the previous epoch boundary would hold
+            # deleted arrays by the time an interrupt unwinds into the
+            # Logger's emergency save. The newest state is only donated
+            # when the NEXT step dispatches, so an interrupt between
+            # steps (the common case) checkpoints cleanly.
+            logger.stage_payload(_make_payload(state, epoch, it + 1))
+            if profile_span and it == profile_span[1]:
+                jax.block_until_ready(out["metrics"])
+                jax.profiler.stop_trace()
+                profile_span = None
 
-                    kp_parts = split_kp(
-                        jax.tree.map(np.asarray, out["kp_joined"]), False
-                    )
-                    vis_out = {
-                        "video_prediction": np.asarray(out["video_prediction"]),
-                        "video_deformed": np.asarray(out["video_deformed"]),
-                        **kp_parts,
-                    }
-                    logger.log_iter(
-                        it, names, np.asarray(out["metrics"]), batch, vis_out
-                    )
-                else:
-                    # device array on purpose — materialized lazily at the log
-                    # boundary so steps never block on a host sync
-                    logger.log_iter(it, names, out["metrics"])
-                it += 1
+            if it % logger.log_freq == 0:
+                # Materialize visuals only on log steps.
+                from monkeynet_tpu.tasks.train import split_kp
 
-            logger.log_epoch(epoch, _make_payload(state, epoch, it))
+                kp_parts = split_kp(
+                    jax.tree.map(np.asarray, out["kp_joined"]), False
+                )
+                vis_out = {
+                    "video_prediction": np.asarray(out["video_prediction"]),
+                    "video_deformed": np.asarray(out["video_deformed"]),
+                    **kp_parts,
+                }
+                logger.log_iter(
+                    it, names, np.asarray(out["metrics"]), batch, vis_out
+                )
+            else:
+                # device array on purpose — materialized lazily at the log
+                # boundary so steps never block on a host sync
+                logger.log_iter(it, names, out["metrics"])
+            it += 1
+            epoch_steps += 1
+            if epoch_steps == steps_per_epoch:
+                # end of epoch: same boundary the per-epoch loop had
+                logger.log_epoch(epoch, _make_payload(state, epoch, it))
+                epoch_steps = 0
     return state
 
 

@@ -345,6 +345,30 @@ def test_loader_sharded_union_equals_global_batch(tmp_path):
         )
 
 
+def test_loader_stream_matches_per_epoch_iteration(tmp_path):
+    """stream(N) (one persistent worker pool) must yield exactly the batches
+    of N sequential per-epoch iterations — same epochs, same order, same
+    augmented pixels — and leave loader.epoch where N epochs would."""
+    root = _make_dataset(tmp_path)
+    aug = {"flip_param": {"time_flip": True, "horizontal_flip": True}}
+    ds = FramesDataset(
+        root_dir=root, image_shape=(8, 8, 3), is_train=True,
+        augmentation_params=aug,
+    )
+    a = DataLoader(ds, batch_size=2, seed=7)
+    per_epoch = []
+    for _ in range(3):
+        ep = a.epoch
+        per_epoch.extend((ep, b) for b in a)
+    b = DataLoader(ds, batch_size=2, seed=7)
+    streamed = list(b.stream(3))
+    assert b.epoch == a.epoch == 3
+    assert [e for e, _ in streamed] == [e for e, _ in per_epoch]
+    for (_, x), (_, y) in zip(streamed, per_epoch):
+        assert x["name"] == y["name"]
+        np.testing.assert_array_equal(x["video"], y["video"])
+
+
 def test_loader_resume_continues_stream(tmp_path):
     """Setting loader.epoch to the resume epoch continues the shuffle stream:
     a loader resumed at epoch 2 must draw the same orders as epochs 2+ of an

@@ -123,6 +123,33 @@ def test_single_device_step_runs():
     assert delta > 0
 
 
+def test_uint8_feed_matches_float_feed():
+    """feed_dtype=uint8 ships batches at 1/4 the bytes; the step rescales
+    on-device. A uint8 batch must produce the same update as feeding the
+    equivalent float batch. SGD fixture so the post-step delta IS the
+    gradient; the two feeds compile to different programs (different input
+    dtypes -> different fusions), so allow fusion-level float drift —
+    Adam's sqrt-normalized first step would amplify it into noise."""
+    models, optimizer, state, tp = _setup(sgd=True)
+    step = jax.jit(make_train_step(models, tp, optimizer))
+    rng = np.random.RandomState(3)
+    u8 = {
+        "source": rng.randint(0, 256, (8, 1, 16, 16, 3), dtype=np.uint8),
+        "video": rng.randint(0, 256, (8, 1, 16, 16, 3), dtype=np.uint8),
+    }
+    f32 = {k: (v.astype(np.float32) / 255.0) for k, v in u8.items()}
+    s_u8, out_u8 = step(state, {k: jnp.asarray(v) for k, v in u8.items()})
+    s_f, out_f = step(state, {k: jnp.asarray(v) for k, v in f32.items()})
+    np.testing.assert_allclose(
+        np.asarray(out_u8["metrics"]), np.asarray(out_f["metrics"]),
+        rtol=1e-6, atol=1e-6,
+    )
+    leaves_u8 = jax.tree.leaves(s_u8.params)
+    leaves_f = jax.tree.leaves(s_f.params)
+    for a, b in zip(leaves_u8, leaves_f):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
 def test_sharded_step_matches_single_device():
     batch = _batch()
 
