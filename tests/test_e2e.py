@@ -231,9 +231,11 @@ def test_resume_from_checkpoint(trained, e2e_config, synth_dataset, tmp_path_fac
     epochs_drawn = []
 
     class RecordingLoader(tl.DataLoader):
-        def __iter__(self):
-            epochs_drawn.append(self.epoch)
-            return super().__iter__()
+        def stream(self, num_epochs):
+            for ep, batch in super().stream(num_epochs):
+                if ep not in epochs_drawn:
+                    epochs_drawn.append(ep)
+                yield ep, batch
 
     monkeypatch.setattr(tl, "DataLoader", RecordingLoader)
     log_dir, cpk = trained
