@@ -53,6 +53,55 @@ def torch_bias_init(fan_in: int):
     return init
 
 
+class _BlockDiagConv2D(nn.Module):
+    """Grouped 1x1/kxk conv computed as ONE dense conv with a block-diagonal
+    kernel.
+
+    `feature_group_count` lowers to per-group thin convolutions on TPU (the
+    dense-motion group blocks are K+1 = 11 groups of 4 channels — measured
+    ~3x slower than a dense 44-channel conv in the fused train step). The
+    parameter keeps the torch/flax grouped shape (kh, kw, Cin/G, Cout) — the
+    pytree, init fans, and checkpoint format are unchanged — and is scattered
+    into a block-diagonal (kh, kw, Cin, Cout) kernel at apply time. The
+    off-diagonal zeros are constants, so gradients stay confined to the
+    blocks exactly as in the grouped form.
+    """
+
+    features: int
+    groups: int
+    kernel_hw: Tuple[int, int]
+    padding_hw: Any
+    use_bias: bool
+    dtype: Optional[Dtype]
+    kernel_init: Any
+    bias_init: Any
+
+    @nn.compact
+    def __call__(self, x):  # x: (N, H, W, Cin)
+        kh, kw = self.kernel_hw
+        cin = x.shape[-1]
+        ci, co = cin // self.groups, self.features // self.groups
+        kernel = self.param(
+            "kernel", self.kernel_init, (kh, kw, ci, self.features)
+        )
+        dense = jnp.zeros((kh, kw, cin, self.features), kernel.dtype)
+        for g in range(self.groups):
+            dense = dense.at[
+                :, :, g * ci : (g + 1) * ci, g * co : (g + 1) * co
+            ].set(kernel[:, :, :, g * co : (g + 1) * co])
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            dense = dense.astype(self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x, dense, (1, 1), self.padding_hw,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 class Conv3D(nn.Module):
     """Conv over (B, D, H, W, C) with torch-default init.
 
@@ -83,17 +132,29 @@ class Conv3D(nn.Module):
             if pt != 0:
                 raise ValueError("depth-1 kernel with temporal padding")
             B, D, H, W, C = x.shape
-            y = nn.Conv(
-                self.features,
-                (kh, kw),
-                padding=((ph, ph), (pw, pw)),
-                feature_group_count=self.groups,
-                use_bias=self.use_bias,
-                kernel_init=kernel_init,
-                bias_init=bias_init,
-                dtype=self.dtype,
-                name="conv",
-            )(x.reshape(B * D, H, W, C))
+            if self.groups > 1:
+                y = _BlockDiagConv2D(
+                    self.features,
+                    self.groups,
+                    (kh, kw),
+                    ((ph, ph), (pw, pw)),
+                    self.use_bias,
+                    self.dtype,
+                    kernel_init,
+                    bias_init,
+                    name="conv",
+                )(x.reshape(B * D, H, W, C))
+            else:
+                y = nn.Conv(
+                    self.features,
+                    (kh, kw),
+                    padding=((ph, ph), (pw, pw)),
+                    use_bias=self.use_bias,
+                    kernel_init=kernel_init,
+                    bias_init=bias_init,
+                    dtype=self.dtype,
+                    name="conv",
+                )(x.reshape(B * D, H, W, C))
             return y.reshape(B, D, y.shape[1], y.shape[2], self.features)
 
         return nn.Conv(

@@ -157,6 +157,31 @@ def resize_nearest(x, out_hw):
     Ho, Wo = out_hw
     if (Ho, Wo) == (H, W):
         return x
+
+    def axis_is_fast(size, out):
+        return out % size == 0 or size % out == 0
+
+    if axis_is_fast(H, Ho) and axis_is_fast(W, Wo):
+        # Integer up/down ratios cover every resize the models emit (x2
+        # decoder upsamples, power-of-two flow/embedding pyramid resizes,
+        # scale_factor pre-downscales). floor(i*in/out) degenerates to
+        # repeat (out = f*in) or stride (in = r*out), so express them as
+        # broadcast/reshape and strided slice: their VJPs are a window
+        # reduce and a pad, instead of the scatter-add a gather transpose
+        # costs on TPU (measured 0.2 ms per up-block in the fused GAN step).
+        if H % Ho == 0 and Ho != H:
+            x = x[..., :: H // Ho, :, :]
+        if W % Wo == 0 and Wo != W:
+            x = x[..., :, :: W // Wo, :]
+        fr, fc = Ho // x.shape[-3], Wo // x.shape[-2]
+        if fr > 1 or fc > 1:
+            lead = x.shape[:-3]
+            h, w, c = x.shape[-3:]
+            x = x[..., :, None, :, None, :]
+            x = jnp.broadcast_to(x, lead + (h, fr, w, fc, c))
+            x = x.reshape(lead + (h * fr, w * fc, c))
+        return x
+
     rows = (jnp.arange(Ho) * H) // Ho
     cols = (jnp.arange(Wo) * W) // Wo
     x = jnp.take(x, rows, axis=-3)

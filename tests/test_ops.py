@@ -151,6 +151,34 @@ def test_resize_bilinear_matches_torch():
     np.testing.assert_allclose(ours, ref, atol=1e-5)
 
 
+def test_resize_nearest_fast_paths_match_index_rule():
+    """The broadcast/strided-slice fast paths (integer ratios) must equal the
+    legacy index rule src = floor(dst * in / out) exactly — including mixed
+    up/down axes and the non-integer fallback."""
+
+    def by_index_rule(x, out_hw):
+        Ho, Wo = out_hw
+        rows = (jnp.arange(Ho) * x.shape[-3]) // Ho
+        cols = (jnp.arange(Wo) * x.shape[-2]) // Wo
+        return jnp.take(jnp.take(x, rows, axis=-3), cols, axis=-2)
+
+    rng = np.random.RandomState(11)
+    cases = [
+        (8, 8, (16, 16)),  # x2 up (decoder)
+        (8, 8, (2, 2)),    # x4 down (flow pyramid)
+        (16, 8, (4, 16)),  # down rows, up cols
+        (8, 8, (3, 5)),    # non-integer fallback
+        (7, 7, (14, 14)),  # odd-size x2
+        (8, 8, (12, 12)),  # non-integer 1.5x fallback
+    ]
+    for H, W, out in cases:
+        x = jnp.asarray(rng.rand(2, 3, H, W, 5).astype(np.float32))
+        got = np.asarray(resize_nearest(x, out))
+        want = np.asarray(by_index_rule(x, out))
+        assert got.shape == want.shape
+        np.testing.assert_array_equal(got, want, err_msg=f"{(H, W, out)}")
+
+
 # ------------------------------------------------------------------- gaussians
 
 
