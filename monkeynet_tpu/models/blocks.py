@@ -80,6 +80,12 @@ class _BlockDiagConv2D(nn.Module):
     def __call__(self, x):  # x: (N, H, W, Cin)
         kh, kw = self.kernel_hw
         cin = x.shape[-1]
+        if cin % self.groups or self.features % self.groups:
+            raise ValueError(
+                f"grouped conv: in_channels {cin} and features "
+                f"{self.features} must both be divisible by groups "
+                f"{self.groups}"
+            )
         ci, co = cin // self.groups, self.features // self.groups
         kernel = self.param(
             "kernel", self.kernel_init, (kh, kw, ci, self.features)
@@ -92,6 +98,12 @@ class _BlockDiagConv2D(nn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
             dense = dense.astype(self.dtype)
+        else:
+            # Match nn.Conv's promote_dtype semantics: a bf16 input meeting
+            # f32 params runs the conv at the promoted (f32) dtype instead of
+            # handing lax mismatched operands.
+            common = jnp.promote_types(x.dtype, dense.dtype)
+            x, dense = x.astype(common), dense.astype(common)
         y = jax.lax.conv_general_dilated(
             x, dense, (1, 1), self.padding_hw,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
