@@ -98,13 +98,25 @@ def _bench_transfer(jax, jnp, config):
         out = engine(source, driving)
         jax.block_until_ready(out["video_prediction"])
 
+    t0 = time.perf_counter()
     one_pass()  # warmup + compile
+    compile_s = time.perf_counter() - t0
     times = []
     for _ in range(RUNS):
         t0 = time.perf_counter()
         one_pass()
         times.append(time.perf_counter() - t0)
     fps = N_FRAMES / min(times)
+    stats = {
+        "fps_median": round(N_FRAMES / float(np.median(times)), 2),
+        "spread_pct": round(100.0 * (max(times) - min(times)) / min(times), 1),
+        "n_runs": RUNS,
+        "compile_seconds": round(compile_s, 1),
+        # Steady-state passes take ~min(times); a warmup many times longer
+        # means this process actually compiled (cold persistent cache /
+        # first run); close to steady-state means cache hits (warm).
+        "compile_cache": "cold" if compile_s > 5 * min(times) + 5 else "warm",
+    }
 
     # Measured FLOPs of the chunk program (the _first variant adds only one
     # extra kp detection on the single source frame vs the steady-state one).
@@ -118,7 +130,7 @@ def _bench_transfer(jax, jnp, config):
             flops_per_frame = flops / CHUNK
     except Exception:
         pass
-    return fps, flops_per_frame
+    return fps, flops_per_frame, stats
 
 
 def _bench_train(jax, jnp, config):
@@ -156,12 +168,18 @@ def _bench_train(jax, jnp, config):
 
     state, out = compiled(state, batch)  # warmup
     jax.block_until_ready(out["metrics"])
-    t0 = time.perf_counter()
-    for _ in range(TRAIN_STEPS):
-        state, out = compiled(state, batch)
-    jax.block_until_ready(out["metrics"])
-    sps = TRAIN_STEPS / (time.perf_counter() - t0)
-    return sps, flops_per_step
+    # 3 timed blocks: report the best block (headline) plus the spread so
+    # round-over-round deltas can be told apart from ambient tunnel noise.
+    block_rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(TRAIN_STEPS):
+            state, out = compiled(state, batch)
+        jax.block_until_ready(out["metrics"])
+        block_rates.append(TRAIN_STEPS / (time.perf_counter() - t0))
+    sps = max(block_rates)
+    spread = round(100.0 * (max(block_rates) - min(block_rates)) / min(block_rates), 1)
+    return sps, flops_per_step, spread
 
 
 def main():
@@ -175,12 +193,14 @@ def main():
     config = load_config("configs/taichi.yaml")
     peak, kind = _peak_flops(jax)
 
-    fps, flops_per_frame = _bench_transfer(jax, jnp, config)
-    sps, flops_per_step = _bench_train(jax, jnp, config)
+    fps, flops_per_frame, transfer_stats = _bench_transfer(jax, jnp, config)
+    sps, flops_per_step, train_spread = _bench_train(jax, jnp, config)
 
     extra = {
         "device_kind": kind,
         "train_steps_per_sec_taichi_b32": round(sps, 2),
+        "train_spread_pct": train_spread,
+        **transfer_stats,
     }
     if flops_per_frame:
         extra["transfer_gflop_per_frame_measured"] = round(

@@ -80,9 +80,13 @@ class RandomRotation:
         angle = rng.uniform(*self.degrees)
         import cv2
 
-        # Same bilinear rotation as scipy.ndimage.rotate(axes=(1, 0),
-        # reshape=False, order=1) — verified to 1e-8 — but ~10x faster on
-        # the single-core host that feeds the chip.
+        # Same bilinear rotation as the reference's skimage.transform.rotate
+        # (reference augmentation.py:207: order=1, resize=False, constant-0
+        # fill, center (w-1)/2,(h-1)/2) — pinned vs the equivalent
+        # scipy.ndimage.rotate(mode='grid-constant') to <=1e-5 in
+        # tests/test_data.py (cv2's fixed-point bilinear weights cap the
+        # match at ~4e-6) — but ~10x faster on the single-core host that
+        # feeds the chip.
         h, w = np.asarray(clip[0]).shape[:2]
         M = cv2.getRotationMatrix2D(((w - 1) / 2.0, (h - 1) / 2.0), angle, 1.0)
         return np.stack(
@@ -94,6 +98,34 @@ class RandomRotation:
                 for img in clip
             ]
         )
+
+
+def _nearest_resize_like_skimage(clip, new_h, new_w):
+    """Nearest resize with the reference's exact semantics.
+
+    The reference's nearest path is skimage.transform.resize(order=0,
+    anti_aliasing=True, mode='constant') (reference augmentation.py:57-59,
+    121-130), which (a) Gaussian-prefilters each DOWNSCALED axis with
+    sigma=(factor-1)/2, then (b) samples via ndi.zoom(grid_mode=True):
+    output pixel i reads input floor((i+0.5)*factor - 0.5 + 0.5). cv2's
+    INTER_NEAREST uses the legacy floor(i*factor) mapping — off by half a
+    pixel, a different image — so we implement skimage's convention
+    directly: the sampling step is pure fancy indexing, vectorized over the
+    whole (T, H, W, C) clip at once (faster than per-frame cv2 here).
+    Value parity vs an ndi.zoom oracle is pinned in tests/test_data.py.
+    """
+    clip = np.asarray(clip)
+    t, h, w = clip.shape[:3]
+    fy, fx = h / new_h, w / new_w
+    sig_y, sig_x = max(0.0, (fy - 1) / 2), max(0.0, (fx - 1) / 2)
+    if sig_y > 0 or sig_x > 0:
+        from scipy import ndimage as ndi
+
+        sigma = (0.0, sig_y, sig_x) + (0.0,) * (clip.ndim - 3)
+        clip = ndi.gaussian_filter(clip, sigma, mode="grid-constant", cval=0.0)
+    rows = np.clip(np.floor((np.arange(new_h) + 0.5) * fy).astype(np.intp), 0, h - 1)
+    cols = np.clip(np.floor((np.arange(new_w) + 0.5) * fx).astype(np.intp), 0, w - 1)
+    return clip[:, rows][:, :, cols]
 
 
 class RandomResize:
@@ -108,13 +140,13 @@ class RandomResize:
         scale = rng.uniform(*self.ratio)
         h, w = clip[0].shape[:2]
         new_h, new_w = int(h * scale), int(w * scale)
+        if self.interpolation == "nearest":
+            return _nearest_resize_like_skimage(clip, new_h, new_w)
         import cv2
 
-        interp = (
-            cv2.INTER_NEAREST if self.interpolation == "nearest" else cv2.INTER_LINEAR
-        )
         return np.stack(
-            [cv2.resize(img, (new_w, new_h), interpolation=interp) for img in clip]
+            [cv2.resize(img, (new_w, new_h), interpolation=cv2.INTER_LINEAR)
+             for img in clip]
         )
 
 

@@ -37,6 +37,82 @@ def collate(items):
     return out
 
 
+def quantize_feed(batch, keys=("source", "video")):
+    """Re-quantize float [0,1] image arrays to uint8 for the device feed
+    (4x less host->device traffic; the jitted step rescales on-device).
+
+    Runs inside loader workers (DataLoader postprocess) so the consumer
+    thread — whose only job is dispatching device steps — never does
+    per-batch numpy passes."""
+    out = dict(batch)
+    for k in keys:
+        if k in out:
+            out[k] = (np.clip(out[k], 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    return out
+
+
+def device_prefetch(stream, place, depth: int = 2):
+    """Overlap host->device transfer with device compute.
+
+    Wraps a `(epoch, batch)` iterator: a feeder thread pulls batches, calls
+    `place(batch)` (typically jax.device_put / sharded placement — an async
+    dispatch whose transfer then rides alongside the running step), and
+    queues the placed result `depth` ahead of the consumer. The consumer's
+    critical path is a queue pop, never an H2D round-trip — the torch
+    equivalent is DataLoader pin_memory + non_blocking copies (reference
+    train.py:99), which this replaces on the TPU side.
+
+    Exceptions from the stream or from `place` re-raise in the consumer.
+    Abandoning the returned generator stops the feeder and closes the
+    underlying stream (no leaked threads, bounded in-flight memory).
+    """
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    stop = threading.Event()
+    _END = object()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.25)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def feeder():
+        try:
+            try:
+                for ep, batch in stream:
+                    if not _put((ep, place(batch), None)):
+                        return
+            finally:
+                close = getattr(stream, "close", None)
+                if close is not None:
+                    close()
+        except BaseException as e:  # surface to the consumer
+            _put((None, None, e))
+            return
+        _put(_END)
+
+    thread = threading.Thread(target=feeder, daemon=True)
+
+    def gen():
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    return
+                ep, placed, err = item
+                if err is not None:
+                    raise err
+                yield ep, placed
+        finally:
+            stop.set()
+
+    return gen()
+
+
 class DataLoader:
     def __init__(
         self,
@@ -49,6 +125,7 @@ class DataLoader:
         prefetch: int = 2,
         num_shards: int = 1,
         shard_index: int = 0,
+        postprocess=None,
     ):
         """batch_size is the LOCAL batch; with num_shards > 1 (multi-host
         data parallelism) every shard walks the same seed-keyed global
@@ -64,6 +141,10 @@ class DataLoader:
         self.prefetch = max(1, prefetch)
         self.num_shards = num_shards
         self.shard_index = shard_index
+        # Applied to each collated batch INSIDE the worker thread (e.g.
+        # quantize_feed): batch-level numpy work belongs with decode/augment,
+        # not on the consumer thread that keeps the device queue full.
+        self.postprocess = postprocess
         if num_shards > 1 and not drop_last:
             raise ValueError("sharded loading requires drop_last=True")
         self.epoch = 0
@@ -98,7 +179,10 @@ class DataLoader:
                 items.append(self.dataset.__getitem__(int(j), rng=rng))
             except TypeError:
                 items.append(self.dataset[int(j)])
-        return collate(items)
+        batch = collate(items)
+        if self.postprocess is not None:
+            batch = self.postprocess(batch)
+        return batch
 
     def __iter__(self) -> Iterator[dict]:
         """One epoch at self.epoch (then bumps it) — a 1-epoch stream()."""

@@ -71,6 +71,30 @@ def make_optimizer(lr_schedule):
     )
 
 
+def restore_adam_moments(opt_state, step, mu, nu):
+    """Fill an optax chain state with Adam moments imported from a torch
+    checkpoint (utils/torch_import.import_adam_state), so training resumed
+    from a reference `.pth.tar` keeps its optimizer state exactly like the
+    reference does (reference logger.py:49-66, train.py:84-90).
+
+    Replaces the ScaleByAdamState's (count, mu, nu) and advances every other
+    counted transform (the LR-schedule state) to the same step.
+    """
+    count = jnp.asarray(step, jnp.int32)
+    out = []
+    for part in opt_state:
+        if hasattr(part, "mu") and hasattr(part, "nu"):
+            part = part._replace(
+                count=count,
+                mu=jax.tree.map(jnp.asarray, mu),
+                nu=jax.tree.map(jnp.asarray, nu),
+            )
+        elif hasattr(part, "count"):
+            part = part._replace(count=count)
+        out.append(part)
+    return type(opt_state)(out) if isinstance(opt_state, list) else tuple(out)
+
+
 class TrainState(struct.PyTreeNode):
     step: jax.Array
     params: Dict[str, Any]

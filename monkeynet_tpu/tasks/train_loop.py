@@ -15,7 +15,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from monkeynet_tpu.data.loader import DataLoader
+from monkeynet_tpu.data.loader import DataLoader, device_prefetch, quantize_feed
 from monkeynet_tpu.tasks.build import init_models
 from monkeynet_tpu.tasks.train import (
     TrainState,
@@ -54,6 +54,12 @@ def train(config, log_dir, dataset, checkpoint=None, seed=0, num_devices=1,
         )
     local_batch_size = train_params["batch_size"] // process_count
 
+    # uint8 feed: ship the batch to the device as uint8 (4x less
+    # host->device traffic than f32; the jitted step rescales to the
+    # compute dtype on-device). The sources are 8-bit media, so the
+    # only loss is re-quantizing augmentation interpolants. Quantization
+    # runs in the loader workers, with the rest of the host batch work.
+    feed_uint8 = train_params.get("feed_dtype", "float32") == "uint8"
     loader = DataLoader(
         dataset,
         batch_size=local_batch_size,
@@ -63,6 +69,7 @@ def train(config, log_dir, dataset, checkpoint=None, seed=0, num_devices=1,
         seed=seed,
         num_shards=process_count,
         shard_index=jax.process_index(),
+        postprocess=quantize_feed if feed_uint8 else None,
     )
     steps_per_epoch = max(1, len(loader))
 
@@ -88,16 +95,30 @@ def train(config, log_dir, dataset, checkpoint=None, seed=0, num_devices=1,
         loaded = load_any(checkpoint, templates)
         if "state" in loaded:  # our own full checkpoint
             state = restore_train_state(state, loaded["state"])
-        else:  # torch checkpoint: params + stats only
+        else:  # torch checkpoint: params + stats (+ Adam moments if saved)
+            from monkeynet_tpu.tasks.train import restore_adam_moments
+
             new_params = dict(state.params)
             new_stats = dict(state.batch_stats)
-            for name, variables in loaded.items():
+            new_opt = dict(state.opt_states)
+            for name in params:
+                variables = loaded.get(name)
                 if not isinstance(variables, dict):
                     continue
                 new_params[name] = variables["params"]
                 if "batch_stats" in variables:
                     new_stats[name] = variables["batch_stats"]
-            state = state.replace(params=new_params, batch_stats=new_stats)
+                moments = loaded.get(f"optimizer_{name}")
+                if moments is not None:
+                    # The reference restores each model's Adam state on
+                    # resume (reference logger.py:49-66); mirror it so a
+                    # resumed published checkpoint keeps its moments.
+                    new_opt[name] = restore_adam_moments(
+                        state.opt_states[name], **moments
+                    )
+            state = state.replace(
+                params=new_params, batch_stats=new_stats, opt_states=new_opt
+            )
         start_epoch = int(loaded.get("epoch", 0))
         it = int(loaded.get("it", 0))
         state = state.replace(step=jnp.asarray(it, jnp.int32))
@@ -129,27 +150,14 @@ def train(config, log_dir, dataset, checkpoint=None, seed=0, num_devices=1,
         **log_params,
     ) as logger:
         profile_span = (10, 20) if profile_dir else None
-        # uint8 feed: ship the batch to the device as uint8 (4x less
-        # host->device traffic than f32; the jitted step rescales to the
-        # compute dtype on-device). The sources are 8-bit media, so the
-        # only loss is re-quantizing augmentation interpolants.
-        feed_uint8 = train_params.get("feed_dtype", "float32") == "uint8"
         epoch_steps = 0
-        # ONE persistent worker pool across all epochs (loader.stream):
-        # per-epoch pools paid thread startup + a cold prefetch pipeline
-        # every epoch, the dominant loop overhead on 1-step-per-epoch
-        # recipes like actions.
-        for epoch, batch in loader.stream(
-            train_params["num_epochs"] - start_epoch
-        ):
-            if profile_span and it == profile_span[0]:
-                jax.profiler.start_trace(profile_dir)
+
+        def place(batch):
+            """Runs on the prefetch feeder thread: stage the device feed for
+            batch N+1 while step N runs, so the consumer thread never waits
+            on a host->device transfer (the torch-DataLoader pinned-memory
+            overlap, reference train.py:99)."""
             x = {"source": batch["source"], "video": batch["video"]}
-            if feed_uint8:
-                x = {
-                    k: (np.clip(v, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
-                    for k, v in x.items()
-                }
             if mesh is not None:
                 # Explicit batch-axis placement; on multi-host runs each
                 # process contributes its local shard of the global batch.
@@ -159,7 +167,18 @@ def train(config, log_dir, dataset, checkpoint=None, seed=0, num_devices=1,
 
                 x = shard_host_local_batch(x, mesh)
             else:
-                x = jax.tree.map(jnp.asarray, x)
+                x = jax.device_put(x)
+            return x, batch
+
+        # ONE persistent worker pool across all epochs (loader.stream):
+        # per-epoch pools paid thread startup + a cold prefetch pipeline
+        # every epoch, the dominant loop overhead on 1-step-per-epoch
+        # recipes like actions.
+        for epoch, (x, batch) in device_prefetch(
+            loader.stream(train_params["num_epochs"] - start_epoch), place
+        ):
+            if profile_span and it == profile_span[0]:
+                jax.profiler.start_trace(profile_dir)
             state, out = step_fn(state, x)
             # Re-stage the exit-checkpoint closure over the FRESH state
             # every step: step_fn donates its input state's buffers, so a
@@ -186,8 +205,16 @@ def train(config, log_dir, dataset, checkpoint=None, seed=0, num_devices=1,
                     "video_deformed": np.asarray(out["video_deformed"]),
                     **kp_parts,
                 }
+                # The visualizer expects [0,1] floats; undo the uint8 feed
+                # quantization (log steps only).
+                vis_inp = {
+                    k: v.astype(np.float32) / 255.0
+                    if isinstance(v, np.ndarray) and v.dtype == np.uint8
+                    else v
+                    for k, v in batch.items()
+                }
                 logger.log_iter(
-                    it, names, np.asarray(out["metrics"]), batch, vis_out
+                    it, names, np.asarray(out["metrics"]), vis_inp, vis_out
                 )
             else:
                 # device array on purpose — materialized lazily at the log

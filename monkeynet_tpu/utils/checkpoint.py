@@ -47,12 +47,17 @@ def load_any(
     Returns the raw payload dict for msgpack checkpoints. For torch
     checkpoints, `variables_templates` must map model name ('generator',
     'kp_detector', 'discriminator') -> flax variables pytree; returns
-    {'<model>': converted_variables, 'epoch': int, 'it': int}.
+    {'<model>': converted_variables, 'epoch': int, 'it': int}, plus — when
+    the checkpoint carries the reference's Adam state_dicts (reference
+    logger.py:43-47 saves them, :49-66 restores them on resume) —
+    'optimizer_<model>': {'step', 'mu', 'nu'} pytrees shaped like the
+    model's params, ready for restore_adam_moments.
     """
     with open(path, "rb") as f:
         magic = f.read(2)
     if magic == b"PK" or path.endswith((".pth", ".pth.tar", ".pt")):
         from monkeynet_tpu.utils.torch_import import (
+            import_adam_state,
             import_state_dict,
             load_torch_checkpoint,
         )
@@ -63,6 +68,14 @@ def load_any(
         for name, template in variables_templates.items():
             if name in raw:
                 out[name] = import_state_dict(template, raw[name])
+                opt_raw = raw.get(f"optimizer_{name}")
+                if opt_raw is not None:
+                    step, mu, nu = import_adam_state(
+                        template["params"], raw[name], opt_raw
+                    )
+                    out[f"optimizer_{name}"] = {
+                        "step": step, "mu": mu, "nu": nu
+                    }
         out["epoch"] = int(raw.get("epoch", 0))
         out["it"] = int(raw.get("it", 0))
         return out

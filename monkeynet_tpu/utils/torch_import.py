@@ -120,20 +120,88 @@ def import_state_dict(
     return result
 
 
-def load_torch_checkpoint(path: str) -> Dict[str, Dict[str, np.ndarray]]:
-    """Load a reference `.pth.tar` checkpoint into numpy state_dicts keyed by
-    model name ('generator', 'kp_detector', 'discriminator', ...)."""
+def _to_numpy(obj):
+    """Recursively convert torch tensors to numpy inside nested containers
+    (optimizer state_dicts nest {'state': {idx: {...tensors}}, 'param_groups')."""
+    if hasattr(obj, "detach"):
+        return obj.detach().cpu().numpy()
+    if isinstance(obj, dict):
+        return {k: _to_numpy(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return type(obj)(_to_numpy(v) for v in obj)
+    return obj
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, Any]:
+    """Load a reference `.pth.tar` checkpoint into numpy structures keyed by
+    entry name ('generator', ..., 'optimizer_generator', ..., 'epoch', 'it').
+
+    Model entries become flat {key: ndarray} state_dicts; optimizer entries
+    keep the torch Adam nesting ({'state': {idx: {'step','exp_avg',
+    'exp_avg_sq'}}, 'param_groups': [...]}) with tensors as numpy."""
     import torch
 
     cpk = torch.load(path, map_location="cpu", weights_only=False)
-    out = {}
-    for name, value in cpk.items():
-        if isinstance(value, dict):
-            out[name] = {
-                k: v.detach().cpu().numpy()
-                for k, v in value.items()
-                if hasattr(v, "detach")
-            }
+    return {name: _to_numpy(value) for name, value in cpk.items()}
+
+
+_BUFFER_SUFFIXES = ("running_mean", "running_var", "num_batches_tracked")
+
+
+def import_adam_state(
+    params_template: Mapping[str, Any],
+    model_state_dict: Mapping[str, np.ndarray],
+    opt_state_dict: Mapping[str, Any],
+):
+    """Convert one torch Adam optimizer state_dict into (step, mu, nu) for our
+    optax state, so training resumed from a reference checkpoint keeps its
+    Adam moments (reference logger.py:49-66 restores the three optimizers;
+    consumed at reference train.py:84-90).
+
+    torch's Adam state is keyed by parameter INDEX in `model.parameters()`
+    order, which is the parameter-entry order of the model's state_dict
+    (buffers excluded) — the reference builds each optimizer directly over
+    `model.parameters()` (reference train.py:81-83). Each entry's
+    exp_avg/exp_avg_sq has the parameter's torch layout, so the same
+    name translation + layout transform as the weights applies.
+
+    Returns (step, mu, nu): step int, mu/nu pytrees shaped like
+    `params_template`. Parameters the torch run never stepped (no state
+    entry) get zero moments — torch's own lazy-init behavior.
+    """
+    param_keys = [
+        k for k in model_state_dict if not k.endswith(_BUFFER_SUFFIXES)
+    ]
+    order: list = []
+    for group in opt_state_dict["param_groups"]:
+        order.extend(group["params"])
+    if len(order) != len(param_keys):
+        raise ValueError(
+            f"optimizer covers {len(order)} params but the model state_dict "
+            f"has {len(param_keys)} parameter entries"
+        )
+    idx_of_key = dict(zip(param_keys, order))
+    state = opt_state_dict.get("state", {})
+    steps = [int(np.asarray(s["step"])) for s in state.values()]
+    step = max(steps) if steps else 0
+
+    flat = flatten_dict(params_template)
+    mu_flat: Dict[Any, np.ndarray] = {}
+    nu_flat: Dict[Any, np.ndarray] = {}
+    for path, value in flat.items():
+        key = _flax_path_to_torch_key(path, "params")
+        if key not in idx_of_key:
+            raise KeyError(
+                f"no torch parameter for flax params:{'/'.join(path)} "
+                f"(expected '{key}')"
+            )
+        entry = state.get(idx_of_key[key])
+        shape = np.shape(value)
+        dtype = np.asarray(value).dtype
+        if entry is None:
+            mu_flat[path] = np.zeros(shape, dtype)
+            nu_flat[path] = np.zeros(shape, dtype)
         else:
-            out[name] = value  # epoch / it counters
-    return out
+            mu_flat[path] = _convert_tensor(entry["exp_avg"], shape).astype(dtype)
+            nu_flat[path] = _convert_tensor(entry["exp_avg_sq"], shape).astype(dtype)
+    return step, unflatten_dict(mu_flat), unflatten_dict(nu_flat)

@@ -19,7 +19,12 @@ from monkeynet_tpu.data.augmentation import (
 )
 from monkeynet_tpu.data.dataset import FramesDataset, PairedDataset
 from monkeynet_tpu.data.io import read_video, write_gif, write_stacked_png
-from monkeynet_tpu.data.loader import DataLoader, collate
+from monkeynet_tpu.data.loader import (
+    DataLoader,
+    collate,
+    device_prefetch,
+    quantize_feed,
+)
 
 
 def _video(T=5, H=8, W=8, seed=0):
@@ -367,6 +372,240 @@ def test_loader_stream_matches_per_epoch_iteration(tmp_path):
     for (_, x), (_, y) in zip(streamed, per_epoch):
         assert x["name"] == y["name"]
         np.testing.assert_array_equal(x["video"], y["video"])
+
+
+# ---------------------------------------------------------------------------
+# Augmentation value parity vs the reference pipeline (reference
+# augmentation.py). skimage/torchvision are not installed here, so the
+# oracles reimplement the exact algorithms those libraries run: scipy.ndimage
+# for skimage.transform (skimage wraps ndi with mode='grid-constant'), and
+# PIL ImageEnhance / uint8-HSV for torchvision.transforms.functional's PIL
+# backend.
+# ---------------------------------------------------------------------------
+
+
+class _FixedRng:
+    """Stub rng: pins the single uniform draw a transform makes."""
+
+    def __init__(self, value):
+        self.value = value
+
+    def uniform(self, a, b):
+        return self.value
+
+    def permutation(self, n):
+        return np.arange(n)
+
+
+@pytest.mark.parametrize("angle", [-37.3, -10.0, 0.7, 5.5, 23.4])
+def test_rotation_matches_reference_bilinear(angle):
+    """Our cv2 rotation == the reference's skimage.transform.rotate
+    (reference augmentation.py:207): bilinear, keep shape, constant-0 fill,
+    center ((w-1)/2, (h-1)/2). Oracle: scipy.ndimage.rotate with
+    mode='grid-constant' — the exact ndi call skimage's warp makes. Bound
+    1e-5: cv2 interpolates with fixed-point weights (measured max 4e-6 on
+    random noise)."""
+    from scipy import ndimage as ndi
+
+    from monkeynet_tpu.data.augmentation import RandomRotation
+
+    rng = np.random.RandomState(3)
+    clip = rng.rand(2, 27, 41, 3).astype(np.float32)
+    ours = RandomRotation((angle, angle))(clip, rng=_FixedRng(angle))
+    for t in range(len(clip)):
+        ref = ndi.rotate(
+            clip[t], angle, axes=(1, 0), reshape=False, order=1,
+            mode="grid-constant", cval=0.0,
+        )
+        np.testing.assert_allclose(ours[t], ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("scale", [0.9, 0.97, 1.0, 1.06, 1.1])
+def test_resize_nearest_matches_reference(scale):
+    """Our nearest resize == the reference's skimage resize(order=0,
+    anti_aliasing=True, mode='constant') (reference augmentation.py:57-59):
+    Gaussian prefilter with sigma=(factor-1)/2 on downscaled axes, then
+    ndi.zoom(grid_mode=True) nearest sampling. Exact (pure indexing on the
+    same filtered array)."""
+    from scipy import ndimage as ndi
+
+    from monkeynet_tpu.data.augmentation import RandomResize
+
+    rng = np.random.RandomState(4)
+    h, w = 40, 56
+    clip = rng.rand(3, h, w, 3).astype(np.float32)
+    ours = RandomResize(ratio=(scale, scale))(clip, rng=_FixedRng(scale))
+    nh, nw = int(h * scale), int(w * scale)
+    assert ours.shape == (3, nh, nw, 3)
+    fy, fx = h / nh, w / nw
+    filt = clip
+    sy, sx = max(0.0, (fy - 1) / 2), max(0.0, (fx - 1) / 2)
+    if sy > 0 or sx > 0:
+        filt = ndi.gaussian_filter(
+            clip, (0, sy, sx, 0), mode="grid-constant", cval=0.0
+        )
+    for t in range(3):
+        for c in range(3):
+            ref = ndi.zoom(
+                filt[t, :, :, c], (nh / h, nw / w), order=0,
+                mode="grid-constant", cval=0.0, grid_mode=True,
+            )
+            np.testing.assert_allclose(ours[t, :, :, c], ref, atol=1e-6)
+
+
+def _pil_jitter_op(img, op, factor):
+    """The reference ColorJitter's ndarray path for ONE op (reference
+    augmentation.py:262-293): img_as_ubyte -> PIL -> torchvision functional
+    (PIL backend, reimplemented: Brightness/Color/Contrast enhancers; hue =
+    uint8 HSV channel roll) -> np.array -> img_as_float."""
+    from PIL import Image, ImageEnhance
+
+    u8 = np.rint(np.clip(img, 0, 1) * 255).astype(np.uint8)
+    pil = Image.fromarray(u8)
+    if op == "brightness":
+        out = ImageEnhance.Brightness(pil).enhance(factor)
+    elif op == "saturation":
+        out = ImageEnhance.Color(pil).enhance(factor)
+    elif op == "contrast":
+        out = ImageEnhance.Contrast(pil).enhance(factor)
+    elif op == "hue":
+        hch, s, v = pil.convert("HSV").split()
+        np_h = np.array(hch, np.uint8)
+        with np.errstate(over="ignore"):
+            np_h += np.uint8(np.int64(factor * 255) & 0xFF)
+        out = Image.merge("HSV", (Image.fromarray(np_h), s, v)).convert("RGB")
+    return np.array(out).astype(np.float64) / 255.0
+
+
+@pytest.mark.parametrize(
+    "op,kwargs,factor,mean_tol,max_tol",
+    [
+        ("brightness", {"brightness": 1.0}, 0.6, 1 / 255, 3 / 255),
+        ("brightness", {"brightness": 1.0}, 1.3, 1 / 255, 3 / 255),
+        ("saturation", {"saturation": 1.0}, 0.5, 1 / 255, 3 / 255),
+        ("saturation", {"saturation": 1.0}, 1.4, 1 / 255, 3 / 255),
+        ("contrast", {"contrast": 1.0}, 0.6, 1 / 255, 3 / 255),
+        ("contrast", {"contrast": 1.0}, 1.35, 1 / 255, 3 / 255),
+        # The reference's hue path rotates a uint8 hue channel (256 levels)
+        # through PIL's integer HSV conversion; our float path is its
+        # continuous limit. Deltas are the reference's own quantization
+        # error (measured: mean <=0.008, max <=0.064 across factors).
+        ("hue", {"hue": 0.5}, -0.5, 0.015, 0.1),
+        ("hue", {"hue": 0.5}, 0.1, 0.015, 0.1),
+        ("hue", {"hue": 0.5}, 0.45, 0.015, 0.1),
+    ],
+)
+def test_color_jitter_matches_reference_op(op, kwargs, factor, mean_tol, max_tol):
+    """Each jitter op == the reference's per-frame PIL path (reference
+    augmentation.py:262-293) within the uint8 quantization the reference
+    itself introduces. Factors pinned via the rng stub; single op => order
+    shuffle is a no-op."""
+    from monkeynet_tpu.data.augmentation import ColorJitter
+
+    rng = np.random.RandomState(7)
+    clip = rng.rand(4, 32, 32, 3).astype(np.float32)
+    ours = ColorJitter(**kwargs)(clip, rng=_FixedRng(factor))
+    ref = np.stack([_pil_jitter_op(f, op, factor) for f in clip])
+    d = np.abs(ours - ref)
+    assert d.mean() <= mean_tol, (op, factor, d.mean())
+    assert d.max() <= max_tol, (op, factor, d.max())
+
+
+def test_loader_postprocess_runs_in_workers(tmp_path):
+    """postprocess (e.g. quantize_feed) applies to every collated batch on
+    the worker thread; the consumer sees only transformed batches."""
+    import threading
+
+    consumer = threading.current_thread().name
+    seen_threads = []
+
+    def post(batch):
+        seen_threads.append(threading.current_thread().name)
+        return quantize_feed(batch, keys=("x",))
+
+    class Probe:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, idx, rng=None):
+            return {"x": np.full((2, 2), 0.5, np.float32)}
+
+    loader = DataLoader(
+        Probe(), batch_size=2, shuffle=False, num_workers=2, postprocess=post
+    )
+    for batch in loader:
+        assert batch["x"].dtype == np.uint8
+        np.testing.assert_array_equal(batch["x"], 128)
+    assert len(seen_threads) == 2
+    assert all(t != consumer for t in seen_threads)
+
+
+def test_quantize_feed_round_trips_8bit_media():
+    """uint8 -> float [0,1] -> quantize_feed is the identity on 8-bit
+    sources (the feed loses nothing on un-augmented pixels)."""
+    raw = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    batch = {"source": raw.astype(np.float32) / 255.0, "name": ["a"]}
+    out = quantize_feed(batch)
+    np.testing.assert_array_equal(out["source"], raw)
+    assert out["name"] == ["a"]  # non-feed keys pass through untouched
+
+
+def test_device_prefetch_order_placement_and_errors():
+    """device_prefetch yields (epoch, place(batch)) in stream order, runs
+    place() on the feeder thread, and re-raises stream errors."""
+    import threading
+
+    consumer = threading.current_thread().name
+    placed_on = []
+
+    def stream():
+        for i in range(5):
+            yield i, {"v": np.full(3, i, np.float32)}
+
+    def place(batch):
+        placed_on.append(threading.current_thread().name)
+        return batch["v"] * 2
+
+    got = list(device_prefetch(stream(), place, depth=2))
+    assert [ep for ep, _ in got] == list(range(5))
+    for ep, v in got:
+        np.testing.assert_array_equal(v, 2.0 * ep)
+    assert all(t != consumer for t in placed_on)
+
+    def broken():
+        yield 0, {"v": np.zeros(1)}
+        raise RuntimeError("stream exploded")
+
+    it = device_prefetch(broken(), place)
+    next(it)
+    with pytest.raises(RuntimeError, match="stream exploded"):
+        next(it)
+
+
+def test_device_prefetch_abandonment_stops_feeder_and_closes_stream():
+    """Dropping the consumer mid-stream must stop the feeder thread and
+    close the wrapped stream (the loader's own cleanup depends on it)."""
+    import threading
+    import time
+
+    closed = threading.Event()
+
+    def stream():
+        try:
+            for i in range(1000):
+                yield i, i
+        finally:
+            closed.set()
+
+    before = threading.active_count()
+    it = device_prefetch(stream(), lambda b: b, depth=1)
+    assert next(it) == (0, 0)
+    it.close()
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.01)
+    assert closed.wait(timeout=5.0)
+    assert threading.active_count() == before
 
 
 def test_loader_resume_continues_stream(tmp_path):
