@@ -62,18 +62,20 @@ def maybe_initialize_distributed(
     return True
 
 
-def shard_host_local_batch(local_batch, mesh):
+def shard_host_local_batch(local_batch, mesh, batch_axis: int = 0):
     """Assemble a global batch-sharded jax.Array from per-process host data.
 
     Single-process: plain device_put with the data sharding. Multi-process:
     each host contributes its local shard of the global batch
     (jax.make_array_from_process_local_data), so no host ever materializes
-    the full global batch.
+    the full global batch. `batch_axis` selects which axis is the sharded
+    batch axis (1 for scan-of-k stacked feeds of shape (k, B, ...)).
     """
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    sharding = NamedSharding(mesh, P("data"))
+    spec = P(*([None] * batch_axis), "data")
+    sharding = NamedSharding(mesh, spec)
     if jax.process_count() == 1:
         return jax.tree.map(lambda x: jax.device_put(x, sharding), local_batch)
     return jax.tree.map(

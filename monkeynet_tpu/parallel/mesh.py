@@ -90,3 +90,36 @@ def make_sharded_train_step(models, train_params, optimizer, num_devices=None,
         out_specs=out_specs,
     )
     return jax.jit(sharded, donate_argnums=0)
+
+
+def make_sharded_multi_train_step(models, train_params, optimizer,
+                                  num_devices=None, mesh: Mesh | None = None):
+    """jit(shard_map(scan-of-k train steps)) over a 1-D data mesh.
+
+    Same sharding contract as make_sharded_train_step, but the batch leaves
+    are stacked (k, B, ...) with the BATCH axis (axis 1) sharded over 'data';
+    the k per-step batches run back-to-back on-device in one program (see
+    tasks/train.make_multi_train_step for why).
+    """
+    from monkeynet_tpu.tasks.train import make_multi_train_step
+
+    if mesh is None:
+        mesh = make_mesh(num_devices)
+    multi = make_multi_train_step(models, train_params, optimizer,
+                                  axis_name="data")
+    out_specs = (
+        P(),  # state: replicated (grads pmean'd, BN stats psum'd)
+        {
+            "metrics": P(),
+            "video_prediction": P(None, "data"),
+            "video_deformed": P(None, "data"),
+            "kp_joined": P(None, "data"),
+        },
+    )
+    sharded = jax.shard_map(
+        multi,
+        mesh=mesh,
+        in_specs=(P(), P(None, "data")),
+        out_specs=out_specs,
+    )
+    return jax.jit(sharded, donate_argnums=0)

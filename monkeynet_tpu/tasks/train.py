@@ -274,5 +274,57 @@ def make_train_step(
     return train_step
 
 
+def largest_divisor_leq(n: int, k: int) -> int:
+    """Largest divisor of n that is <= k (>= 1). Used to pick a
+    steps-per-dispatch that tiles the total step count exactly, so ONE
+    compiled multi-step program serves the whole run (no masked tail, no
+    second multi-minute compile for a remainder chunk)."""
+    k = max(1, min(k, n))
+    for d in range(k, 0, -1):
+        if n % d == 0:
+            return d
+    return 1
+
+
+def make_multi_train_step(
+    models: Dict[str, Any],
+    train_params: Dict[str, Any],
+    optimizer,
+    axis_name: Optional[str] = None,
+):
+    """k train steps as ONE XLA program: `lax.scan` over the single step.
+
+    Per-dispatch host costs (pytree flatten, tunnel round-trip, GIL time the
+    loader workers contend for) amortize k-fold — on single-core hosts the
+    dispatch path measurably starves the data loader otherwise. The device
+    runs the k steps back-to-back with no host round-trip in between.
+
+    fn(state, batches) -> (state, out) where batches leaves are stacked
+    (k, B, ...) and out contains per-step metrics (k, M) plus the per-step
+    visual tensors (k, B, ...) the logger samples at log boundaries.
+    """
+    step = make_train_step(models, train_params, optimizer, axis_name=axis_name)
+
+    def body(state, batch):
+        state, out = step(state, batch)
+        return state, (
+            out["metrics"],
+            out["video_prediction"],
+            out["video_deformed"],
+            out["kp_joined"],
+        )
+
+    def multi_step(state: TrainState, batches):
+        state, (metrics, vp, vd, kp) = jax.lax.scan(body, state, batches)
+        return state, {
+            "metrics": metrics,
+            "video_prediction": vp,
+            "video_deformed": vd,
+            "kp_joined": kp,
+        }
+
+    return multi_step
+
+
 def metric_names(train_params) -> list:
     return generator_loss_names(train_params["loss_weights"]) + discriminator_loss_names()

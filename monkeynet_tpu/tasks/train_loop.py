@@ -20,8 +20,9 @@ from monkeynet_tpu.tasks.build import init_models
 from monkeynet_tpu.tasks.train import (
     TrainState,
     create_train_state,
+    largest_divisor_leq,
+    make_multi_train_step,
     make_optimizer,
-    make_train_step,
     metric_names,
     multistep_lr,
 )
@@ -60,12 +61,16 @@ def train(config, log_dir, dataset, checkpoint=None, seed=0, num_devices=1,
     # only loss is re-quantizing augmentation interpolants. Quantization
     # runs in the loader workers, with the rest of the host batch work.
     feed_uint8 = train_params.get("feed_dtype", "float32") == "uint8"
+    # num_workers default 2: measured on single-core hosts, 4 decode threads
+    # convoy on the GIL against the dispatch thread (4 workers: 36.5
+    # batches/s; 1-2 workers: 37-39) — more threads only add switch overhead
+    # when there is one core to share.
     loader = DataLoader(
         dataset,
         batch_size=local_batch_size,
         shuffle=True,
         drop_last=True,
-        num_workers=4,
+        num_workers=int(train_params.get("num_workers", 2)),
         seed=seed,
         num_shards=process_count,
         shard_index=jax.process_index(),
@@ -128,17 +133,34 @@ def train(config, log_dir, dataset, checkpoint=None, seed=0, num_devices=1,
         # sequence as an uninterrupted run.
         loader.epoch = start_epoch
 
+    # Scan-of-k dispatch: k consecutive train steps run as ONE XLA program
+    # (lax.scan over the fused GAN step). Per-dispatch host cost — pytree
+    # flatten, tunnel round-trip, and above all the GIL time the dispatch
+    # thread steals from the loader workers on single-core hosts — amortizes
+    # k-fold. k is the largest divisor of the total step count <= the
+    # requested steps_per_dispatch, so one compiled program covers the whole
+    # run with no masked/ragged tail chunk.
+    total_steps = max(
+        1, (train_params["num_epochs"] - start_epoch) * steps_per_epoch
+    )
+    k = largest_divisor_leq(
+        total_steps, int(train_params.get("steps_per_dispatch", 8))
+    )
+
     mesh = None
     if num_devices > 1:
-        from monkeynet_tpu.parallel.mesh import make_mesh, make_sharded_train_step
+        from monkeynet_tpu.parallel.mesh import (
+            make_mesh,
+            make_sharded_multi_train_step,
+        )
 
         mesh = make_mesh(num_devices)
-        step_fn = make_sharded_train_step(
+        step_fn = make_sharded_multi_train_step(
             models, train_params, optimizer, mesh=mesh
         )
     else:
         step_fn = jax.jit(
-            make_train_step(models, train_params, optimizer, axis_name=None),
+            make_multi_train_step(models, train_params, optimizer, axis_name=None),
             donate_argnums=0,
         )
 
@@ -151,81 +173,123 @@ def train(config, log_dir, dataset, checkpoint=None, seed=0, num_devices=1,
     ) as logger:
         profile_span = (10, 20) if profile_dir else None
         epoch_steps = 0
+        last_finished = start_epoch - 1
 
-        def place(batch):
-            """Runs on the prefetch feeder thread: stage the device feed for
-            batch N+1 while step N runs, so the consumer thread never waits
-            on a host->device transfer (the torch-DataLoader pinned-memory
-            overlap, reference train.py:99)."""
-            x = {"source": batch["source"], "video": batch["video"]}
+        def chunked(stream):
+            """Group the (epoch, batch) stream into scan-of-k chunks."""
+            eps, buf = [], []
+            for ep, batch in stream:
+                eps.append(ep)
+                buf.append(batch)
+                if len(buf) == k:
+                    yield eps[-1], (eps, buf)
+                    eps, buf = [], []
+            if buf:  # defensive: k divides total_steps, so normally empty
+                yield eps[-1], (eps, buf)
+
+        def place(item):
+            """Runs on the prefetch feeder thread: stack the chunk's k
+            batches and stage the device feed for chunk N+1 while chunk N
+            runs, so the consumer thread never waits on a host->device
+            transfer (the torch-DataLoader pinned-memory overlap, reference
+            train.py:99)."""
+            eps, buf = item
+            x = {
+                key: np.stack([b[key] for b in buf])
+                for key in ("source", "video")
+            }
             if mesh is not None:
-                # Explicit batch-axis placement; on multi-host runs each
-                # process contributes its local shard of the global batch.
+                # Explicit batch-axis placement (axis 1 of the (k, B, ...)
+                # stack); on multi-host runs each process contributes its
+                # local shard of the global batch.
                 from monkeynet_tpu.parallel.distributed import (
                     shard_host_local_batch,
                 )
 
-                x = shard_host_local_batch(x, mesh)
+                x = shard_host_local_batch(x, mesh, batch_axis=1)
             else:
                 x = jax.device_put(x)
-            return x, batch
+            return x, eps, buf
 
         # ONE persistent worker pool across all epochs (loader.stream):
         # per-epoch pools paid thread startup + a cold prefetch pipeline
         # every epoch, the dominant loop overhead on 1-step-per-epoch
         # recipes like actions.
-        for epoch, (x, batch) in device_prefetch(
-            loader.stream(train_params["num_epochs"] - start_epoch), place
+        for _, (x, eps, buf) in device_prefetch(
+            chunked(loader.stream(train_params["num_epochs"] - start_epoch)),
+            place,
         ):
-            if profile_span and it == profile_span[0]:
+            if profile_span and profile_span[0] != "on" and it >= profile_span[0]:
                 jax.profiler.start_trace(profile_dir)
+                profile_span = ("on", profile_span[1])
             state, out = step_fn(state, x)
+            nsteps = len(eps)
             # Re-stage the exit-checkpoint closure over the FRESH state
-            # every step: step_fn donates its input state's buffers, so a
+            # every chunk: step_fn donates its input state's buffers, so a
             # closure captured at the previous epoch boundary would hold
             # deleted arrays by the time an interrupt unwinds into the
             # Logger's emergency save. The newest state is only donated
-            # when the NEXT step dispatches, so an interrupt between
-            # steps (the common case) checkpoints cleanly.
-            logger.stage_payload(_make_payload(state, epoch, it + 1))
-            if profile_span and it == profile_span[1]:
+            # when the NEXT chunk dispatches, so an interrupt between
+            # chunks (the common case) checkpoints cleanly.
+            logger.stage_payload(_make_payload(state, eps[-1], it + nsteps))
+            if (
+                profile_span
+                and profile_span[0] == "on"
+                and it + nsteps > profile_span[1]
+            ):
                 jax.block_until_ready(out["metrics"])
                 jax.profiler.stop_trace()
                 profile_span = None
 
-            if it % logger.log_freq == 0:
-                # Materialize visuals only on log steps.
+            def vis(j, out=out, buf=buf):
+                """Materialize the j-th step's visual tensors (log
+                boundaries only — the loop itself never blocks on a
+                device->host sync)."""
                 from monkeynet_tpu.tasks.train import split_kp
 
                 kp_parts = split_kp(
-                    jax.tree.map(np.asarray, out["kp_joined"]), False
+                    jax.tree.map(
+                        lambda a: np.asarray(a[j]), out["kp_joined"]
+                    ),
+                    False,
                 )
                 vis_out = {
-                    "video_prediction": np.asarray(out["video_prediction"]),
-                    "video_deformed": np.asarray(out["video_deformed"]),
+                    "video_prediction": np.asarray(out["video_prediction"][j]),
+                    "video_deformed": np.asarray(out["video_deformed"][j]),
                     **kp_parts,
                 }
                 # The visualizer expects [0,1] floats; undo the uint8 feed
                 # quantization (log steps only).
                 vis_inp = {
-                    k: v.astype(np.float32) / 255.0
+                    key: v.astype(np.float32) / 255.0
                     if isinstance(v, np.ndarray) and v.dtype == np.uint8
                     else v
-                    for k, v in batch.items()
+                    for key, v in buf[j].items()
                 }
-                logger.log_iter(
-                    it, names, np.asarray(out["metrics"]), vis_inp, vis_out
+                return vis_inp, vis_out
+
+            # Metrics stay a device array; rows materialize at boundaries.
+            logger.log_chunk(it, names, out["metrics"], nsteps, vis=vis)
+            it += nsteps
+            epoch_steps += nsteps
+            if epoch_steps >= steps_per_epoch:
+                # One or more epochs finished inside this chunk. Fire ONE
+                # log_epoch labeled with the newest finished epoch; the
+                # logger checkpoints if ANY finished epoch hits cpk_freq.
+                # The payload is the chunk-end state — with k > 1 a
+                # checkpoint can carry up to k-1 steps past the labeled
+                # boundary, the scan-granularity analog of the reference's
+                # own resume convention (it replays the saved epoch,
+                # reference logger.py:49-66 + train.py:85-87).
+                epoch_steps %= steps_per_epoch
+                j = nsteps - 1 - epoch_steps
+                finished = eps[j]
+                logger.log_epoch(
+                    finished,
+                    _make_payload(state, finished, it - epoch_steps),
+                    prev_epoch=last_finished,
                 )
-            else:
-                # device array on purpose — materialized lazily at the log
-                # boundary so steps never block on a host sync
-                logger.log_iter(it, names, out["metrics"])
-            it += 1
-            epoch_steps += 1
-            if epoch_steps == steps_per_epoch:
-                # end of epoch: same boundary the per-epoch loop had
-                logger.log_epoch(epoch, _make_payload(state, epoch, it))
-                epoch_steps = 0
+                last_finished = finished
     return state
 
 

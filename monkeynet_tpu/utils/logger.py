@@ -47,7 +47,14 @@ class Logger:
 
     # ---------------------------------------------------------------- scores
     def log_scores(self, loss_names):
-        loss_mean = np.array(self.loss_list).mean(axis=0)
+        blocks = []
+        for entry in self.loss_list:
+            if isinstance(entry, tuple):  # (chunk_array, lo, hi) from log_chunk
+                arr, lo, hi = entry
+                blocks.append(np.asarray(arr)[lo:hi])
+            else:
+                blocks.append(np.asarray(entry)[None])
+        loss_mean = np.concatenate(blocks, axis=0).mean(axis=0)
         elapsed = time.time() - self._t_last
         sps = self._steps_since_log / elapsed if elapsed > 0 else float("nan")
         parts = "; ".join(
@@ -127,15 +134,50 @@ class Logger:
         self._steps_since_log += 1
         self.loss_list.append(values)
         if it % self.log_freq == 0:
-            self.loss_list = [np.asarray(v) for v in self.loss_list]
             self.log_scores(names)
             if inp is not None and out is not None:
                 self.visualize_rec(inp, out)
 
-    def log_epoch(self, epoch: int, payload):
+    def log_chunk(self, it0: int, names, values, nsteps: int, vis=None):
+        """Per-chunk logging for scan-of-k train steps: `values` is a
+        (k, M) per-step metric stack (device array OK — rows materialize only
+        at log boundaries), covering iterations it0 .. it0+nsteps-1.
+
+        Produces exactly the lines per-step log_iter would: one line at every
+        iteration divisible by log_freq, whose running mean covers precisely
+        the rows since the previous line. `vis` is an optional callable
+        `vis(j) -> (inp, out)` materializing the visual tensors of the
+        chunk's j-th step for the train-vis gif at a boundary.
+        """
+        end = it0 + nsteps
+        cursor = 0
+        boundary = -(-it0 // self.log_freq) * self.log_freq  # first >= it0
+        while boundary < end:
+            j = boundary - it0
+            self.loss_list.append((values, cursor, j + 1))
+            self._steps_since_log += j + 1 - cursor
+            cursor = j + 1
+            self.it = boundary
+            self.log_scores(names)
+            if vis is not None:
+                inp, out = vis(j)
+                self.visualize_rec(inp, out)
+            boundary += self.log_freq
+        if cursor < nsteps:
+            self.loss_list.append((values, cursor, nsteps))
+            self._steps_since_log += nsteps - cursor
+        self.it = end - 1
+
+    def log_epoch(self, epoch: int, payload, prev_epoch: Optional[int] = None):
         """payload: checkpoint dict, or a zero-arg callable returning one
-        (evaluated only when a checkpoint is actually written)."""
+        (evaluated only when a checkpoint is actually written).
+
+        With `prev_epoch` set (scan-of-k chunks can finish several epochs in
+        one dispatch), a checkpoint is written if ANY epoch in
+        (prev_epoch, epoch] hits cpk_freq, so chunking never skips a
+        scheduled checkpoint."""
         self.epoch = epoch
         self.payload = payload
-        if epoch % self.cpk_freq == 0:
+        lo = epoch if prev_epoch is None else prev_epoch + 1
+        if any(e % self.cpk_freq == 0 for e in range(lo, epoch + 1)):
             self.save_cpk()

@@ -95,3 +95,63 @@ def test_scheduled_checkpoint_failure_raises(tmp_path):
     # The exit path keeps the emergency-save net: no raise.
     logger.save_cpk(is_exit=True)
     logger.log_file.close()
+
+
+def test_log_chunk_lines_match_per_step_log_iter(tmp_path):
+    """log_chunk (scan-of-k) must emit exactly the lines per-step log_iter
+    does — same boundary iterations, same running means — including when
+    log_freq does not divide the chunk size."""
+    rng = np.random.RandomState(0)
+    names = ["a", "b"]
+    values = rng.rand(23, 2).astype(np.float32)  # 23 steps total
+
+    d1 = tmp_path / "per_step"
+    d1.mkdir()
+    with Logger(log_dir=str(d1), log_freq_iter=5, cpk_freq_epoch=100) as lg:
+        for it in range(23):
+            lg.log_iter(it, names, values[it])
+
+    d2 = tmp_path / "chunked"
+    d2.mkdir()
+    with Logger(log_dir=str(d2), log_freq_iter=5, cpk_freq_epoch=100) as lg:
+        it = 0
+        for size in (4, 4, 4, 4, 4, 3):  # k=4 chunks + ragged tail
+            lg.log_chunk(it, names, values[it : it + size], size)
+            it += size
+
+    def lines(p):
+        out = []
+        for line in open(p):
+            head, _, _ = line.rpartition("; steps/s")  # timing differs
+            out.append(head)
+        return out
+
+    assert lines(d1 / "log.txt") == lines(d2 / "log.txt")
+
+
+def test_log_chunk_device_values_and_vis(tmp_path):
+    """Chunk metrics may be device arrays; vis(j) is called only at
+    boundaries with the in-chunk row index."""
+    calls = []
+    with Logger(log_dir=str(tmp_path), log_freq_iter=4, cpk_freq_epoch=100) as lg:
+        vals = jnp.arange(12, dtype=jnp.float32).reshape(6, 2)
+
+        def vis(j):
+            calls.append(j)
+            return None, None
+
+        lg.visualize_rec = lambda inp, out: None
+        lg.log_chunk(0, ["x", "y"], vals[:3], 3, vis=vis)   # boundary it=0
+        lg.log_chunk(3, ["x", "y"], vals[3:], 3, vis=vis)   # boundary it=4
+    assert calls == [0, 1]  # it=0 -> row 0 of chunk 1; it=4 -> row 1 of chunk 2
+
+
+def test_log_epoch_range_checkpointing(tmp_path):
+    """With prev_epoch set, a cpk_freq epoch skipped over inside a chunk
+    still checkpoints (labeled with the newest finished epoch)."""
+    with Logger(log_dir=str(tmp_path), log_freq_iter=5, cpk_freq_epoch=10) as lg:
+        lg.log_epoch(8, {"state": 1}, prev_epoch=5)   # 6..8: no multiple of 10
+        assert not glob.glob(str(tmp_path / "*checkpoint*"))
+        lg.log_epoch(12, {"state": 2}, prev_epoch=8)  # 9..12 crosses 10
+        assert glob.glob(str(tmp_path / "*checkpoint*"))
+        lg.payload = None  # don't re-save on exit
