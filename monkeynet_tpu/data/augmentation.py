@@ -118,7 +118,12 @@ def _nearest_resize_like_skimage(clip, new_h, new_w):
     t, h, w = clip.shape[:3]
     fy, fx = h / new_h, w / new_w
     sig_y, sig_x = max(0.0, (fy - 1) / 2), max(0.0, (fx - 1) / 2)
-    if sig_y > 0 or sig_x > 0:
+    # scipy's gaussian_filter1d kernel radius is int(truncate*sigma + 0.5)
+    # (truncate=4.0); a radius-0 kernel is the identity, so skipping the
+    # filter below that threshold is EXACT — and it is the common case for
+    # mild scale jitter (ratio 0.9-1.1 -> sigma <= 0.056, radius 0), where
+    # the full grid-constant pass was ~30% of the per-item augmentation cost.
+    if int(4.0 * sig_y + 0.5) > 0 or int(4.0 * sig_x + 0.5) > 0:
         from scipy import ndimage as ndi
 
         sigma = (0.0, sig_y, sig_x) + (0.0,) * (clip.ndim - 3)
@@ -265,6 +270,113 @@ class VideoToTensor:
         return {"video": np.ascontiguousarray(_to_float(video))}
 
 
+# --------------------------------------------------------------------------
+# Plan extraction (device-feed mode): each transform can also express itself
+# as a PLAN — the random draws plus precomputed gather indices — instead of
+# applying numpy work. The draws consume the SAME rng calls in the SAME order
+# as __call__, so a planned item is distribution-identical (and, where the
+# op is an integer gather, bit-identical) to the host-applied one. Plans are
+# executed on-device by data/device_feed.py: the host ships a few hundred
+# bytes per item instead of the augmented pixels.
+# --------------------------------------------------------------------------
+
+
+def plan_select(select: SelectRandomFrames, n: int, rng) -> np.ndarray:
+    """Mirror SelectRandomFrames.__call__'s draws; returns frame indices."""
+    k = select.number_of_frames
+    if select.consequent:
+        first = rng.integers(0, max(1, n - k + 1))
+        return np.arange(first, first + k)
+    return np.sort(rng.choice(n, size=k, replace=True))
+
+
+def plan_flip(flip: RandomFlip, frame_idx: np.ndarray, rng):
+    """Mirror RandomFlip's early-return draw order: a time flip consumes one
+    draw and SKIPS the horizontal draw (augmentation order parity)."""
+    if flip.time_flip and rng.random() < 0.5:
+        return frame_idx[::-1], False
+    if flip.horizontal_flip and rng.random() < 0.5:
+        return frame_idx, True
+    return frame_idx, False
+
+
+def plan_rotation(rot: RandomRotation, rng) -> float:
+    return float(rng.uniform(*rot.degrees))
+
+
+def plan_resize_crop(resize, crop, h: int, w: int, rng):
+    """Compose RandomResize (anti-aliased nearest) + RandomCrop (edge-pad +
+    window) into per-axis gather index vectors into the PRE-resize image.
+
+    Exactness: both ops are integer-index gathers (the skimage nearest rule
+    floor((i+0.5)*factor) and edge-pad-then-window), so their composition is
+    a gather too. Requires the resize ratio to keep the Gaussian prefilter at
+    radius 0 (int(4*sigma+0.5) == 0, i.e. scale > 0.8) — checked by
+    supports_device_feed().
+    """
+    new_h, new_w = h, w
+    if resize is not None:
+        scale = rng.uniform(*resize.ratio)
+        new_h, new_w = int(h * scale), int(w * scale)
+        sig = max(0.0, (max(h / new_h, w / new_w) - 1) / 2)
+        if int(4.0 * sig + 0.5) > 0:
+            raise ValueError(
+                "device-feed plan requires prefilter-free resize ratios"
+            )
+        rows = np.clip(
+            np.floor((np.arange(new_h) + 0.5) * (h / new_h)).astype(np.int64),
+            0, h - 1,
+        )
+        cols = np.clip(
+            np.floor((np.arange(new_w) + 0.5) * (w / new_w)).astype(np.int64),
+            0, w - 1,
+        )
+    else:
+        rows = np.arange(h)
+        cols = np.arange(w)
+
+    if crop is None:
+        return rows, cols
+
+    ch, cw = crop.size
+    pad_h = max(0, ch - new_h)
+    pad_w = max(0, cw - new_w)
+    im_h, im_w = new_h + pad_h, new_w + pad_w
+    y = 0 if im_h == ch else int(rng.integers(0, im_h - ch + 1))
+    x = 0 if im_w == cw else int(rng.integers(0, im_w - cw + 1))
+    # padded-image row p maps to resized row clip(p - pad_top, 0, new-1)
+    # (edge mode); the crop reads rows y..y+ch-1 of the padded image.
+    rr = np.clip(y + np.arange(ch) - pad_h // 2, 0, new_h - 1)
+    cc = np.clip(x + np.arange(cw) - pad_w // 2, 0, new_w - 1)
+    return rows[rr], cols[cc]
+
+
+# Device-side jitter slot op ids (0 is the identity for unused slots).
+JITTER_NONE, JITTER_BRIGHT, JITTER_SAT, JITTER_HUE, JITTER_CONTRAST = range(5)
+
+
+def plan_jitter(jit: ColorJitter, rng):
+    """Mirror ColorJitter.__call__'s draws (hue first, then brightness /
+    contrast / saturation, then the op-order permutation); returns
+    (op_ids[4], factors[4]) slot arrays."""
+    bright, contrast, sat, hue = jit._factors(rng)
+    ops = []
+    if bright is not None:
+        ops.append((JITTER_BRIGHT, bright))
+    if sat is not None:
+        ops.append((JITTER_SAT, sat))
+    if hue is not None:
+        ops.append((JITTER_HUE, hue))
+    if contrast is not None:
+        ops.append((JITTER_CONTRAST, contrast))
+    order = rng.permutation(len(ops))
+    op_ids = np.zeros(4, np.int32)
+    factors = np.zeros(4, np.float32)
+    for slot, i in enumerate(order):
+        op_ids[slot], factors[slot] = ops[i]
+    return op_ids, factors
+
+
 class AllAugmentationTransform:
     """Select -> flip -> rotate -> resize -> crop -> jitter -> split
     (pipeline order per reference augmentation.py:363-389)."""
@@ -278,17 +390,19 @@ class AllAugmentationTransform:
         jitter_param=None,
         select_param=None,
     ):
-        self.transforms = [SelectRandomFrames(**(select_param or {}))]
-        if flip_param is not None:
-            self.transforms.append(RandomFlip(**flip_param))
-        if rotation_param is not None:
-            self.transforms.append(RandomRotation(**rotation_param))
-        if resize_param is not None:
-            self.transforms.append(RandomResize(**resize_param))
-        if crop_param is not None:
-            self.transforms.append(RandomCrop(**crop_param))
-        if jitter_param is not None:
-            self.transforms.append(ColorJitter(**jitter_param))
+        self.select = SelectRandomFrames(**(select_param or {}))
+        self.flip = RandomFlip(**flip_param) if flip_param is not None else None
+        self.rotation = (
+            RandomRotation(**rotation_param) if rotation_param is not None else None
+        )
+        self.resize = RandomResize(**resize_param) if resize_param is not None else None
+        self.crop = RandomCrop(**crop_param) if crop_param is not None else None
+        self.jitter = ColorJitter(**jitter_param) if jitter_param is not None else None
+
+        self.transforms = [self.select]
+        for t in (self.flip, self.rotation, self.resize, self.crop, self.jitter):
+            if t is not None:
+                self.transforms.append(t)
         self.transforms.append(SplitSourceDriving())
 
     def __call__(self, clip, rng=None):
@@ -296,3 +410,45 @@ class AllAugmentationTransform:
         for t in self.transforms:
             clip = t(clip, rng=rng)
         return clip
+
+    # ---------------------------------------------------------- device plans
+    def supports_device_feed(self, h: int, w: int) -> bool:
+        """True when every configured transform has an exact/near-exact
+        on-device formulation: the resize ratio must keep skimage's Gaussian
+        prefilter at radius 0 (scale > ~0.8), and the resize interpolation
+        must be the nearest path."""
+        if self.resize is not None:
+            if self.resize.interpolation != "nearest":
+                return False
+            lo = min(self.resize.ratio)
+            sig = max(0.0, (1.0 / lo - 1) / 2)
+            if int(4.0 * sig + 0.5) > 0:
+                return False
+        return True
+
+    def plan(self, n_frames: int, h: int, w: int, rng):
+        """One item's augmentation as a plan dict (see data/device_feed.py).
+
+        Consumes rng draws in exactly the order __call__ would: select, flip,
+        rotation, resize scale, crop offsets, jitter factors + permutation.
+        """
+        frame_idx = plan_select(self.select, n_frames, rng)
+        hflip = False
+        if self.flip is not None:
+            frame_idx, hflip = plan_flip(self.flip, frame_idx, rng)
+        angle = plan_rotation(self.rotation, rng) if self.rotation is not None else 0.0
+        rows, cols = plan_resize_crop(self.resize, self.crop, h, w, rng)
+        if self.jitter is not None:
+            op_ids, factors = plan_jitter(self.jitter, rng)
+        else:
+            op_ids = np.zeros(4, np.int32)
+            factors = np.zeros(4, np.float32)
+        return {
+            "frame_idx": np.asarray(frame_idx, np.int32),
+            "hflip": np.int32(hflip),
+            "angle": np.float32(angle),
+            "rows": np.asarray(rows, np.int32),
+            "cols": np.asarray(cols, np.int32),
+            "jitter_ops": op_ids,
+            "jitter_factors": factors,
+        }

@@ -93,33 +93,42 @@ def make_sharded_train_step(models, train_params, optimizer, num_devices=None,
 
 
 def make_sharded_multi_train_step(models, train_params, optimizer,
-                                  num_devices=None, mesh: Mesh | None = None):
+                                  num_devices=None, mesh: Mesh | None = None,
+                                  augment=None):
     """jit(shard_map(scan-of-k train steps)) over a 1-D data mesh.
 
     Same sharding contract as make_sharded_train_step, but the batch leaves
     are stacked (k, B, ...) with the BATCH axis (axis 1) sharded over 'data';
     the k per-step batches run back-to-back on-device in one program (see
     tasks/train.make_multi_train_step for why).
+
+    With `augment` set (device-feed mode), the input is {'videos': the
+    replicated HBM-resident dataset, 'plans': (k, B, ...) plan arrays with
+    the batch axis sharded} and the out dict additionally carries the
+    sharded per-step augmented 'source'/'video'.
     """
     from monkeynet_tpu.tasks.train import make_multi_train_step
 
     if mesh is None:
         mesh = make_mesh(num_devices)
     multi = make_multi_train_step(models, train_params, optimizer,
-                                  axis_name="data")
-    out_specs = (
-        P(),  # state: replicated (grads pmean'd, BN stats psum'd)
-        {
-            "metrics": P(),
-            "video_prediction": P(None, "data"),
-            "video_deformed": P(None, "data"),
-            "kp_joined": P(None, "data"),
-        },
-    )
+                                  axis_name="data", augment=augment)
+    vis_out = {
+        "metrics": P(),
+        "video_prediction": P(None, "data"),
+        "video_deformed": P(None, "data"),
+        "kp_joined": P(None, "data"),
+    }
+    if augment is None:
+        in_specs = (P(), P(None, "data"))
+    else:
+        in_specs = (P(), {"videos": P(), "plans": P(None, "data")})
+        vis_out = {**vis_out, "source": P(None, "data"),
+                   "video": P(None, "data")}
     sharded = jax.shard_map(
         multi,
         mesh=mesh,
-        in_specs=(P(), P(None, "data")),
-        out_specs=out_specs,
+        in_specs=in_specs,
+        out_specs=(P(), vis_out),
     )
     return jax.jit(sharded, donate_argnums=0)

@@ -291,6 +291,7 @@ def make_multi_train_step(
     train_params: Dict[str, Any],
     optimizer,
     axis_name: Optional[str] = None,
+    augment=None,
 ):
     """k train steps as ONE XLA program: `lax.scan` over the single step.
 
@@ -302,28 +303,68 @@ def make_multi_train_step(
     fn(state, batches) -> (state, out) where batches leaves are stacked
     (k, B, ...) and out contains per-step metrics (k, M) plus the per-step
     visual tensors (k, B, ...) the logger samples at log boundaries.
+
+    With `augment` set (data/device_feed.make_device_augment), batches is
+    instead {'videos': HBM-resident uint8 dataset, 'plans': stacked per-step
+    augmentation plans}; each scanned step materializes its batch ON DEVICE
+    from the plan, and out additionally carries the augmented per-step
+    'source'/'video' for the logger's train-vis (nothing else ever leaves
+    the device). The videos array rides as a plain argument — passing a
+    device-resident array costs nothing per dispatch, and keeping it out of
+    the closure keeps it out of the compiled executable.
     """
     step = make_train_step(models, train_params, optimizer, axis_name=axis_name)
 
-    def body(state, batch):
-        state, out = step(state, batch)
-        return state, (
-            out["metrics"],
-            out["video_prediction"],
-            out["video_deformed"],
-            out["kp_joined"],
-        )
+    if augment is None:
 
-    def multi_step(state: TrainState, batches):
-        state, (metrics, vp, vd, kp) = jax.lax.scan(body, state, batches)
+        def body(state, batch):
+            state, out = step(state, batch)
+            return state, (
+                out["metrics"],
+                out["video_prediction"],
+                out["video_deformed"],
+                out["kp_joined"],
+            )
+
+        def multi_step(state: TrainState, batches):
+            state, (metrics, vp, vd, kp) = jax.lax.scan(body, state, batches)
+            return state, {
+                "metrics": metrics,
+                "video_prediction": vp,
+                "video_deformed": vd,
+                "kp_joined": kp,
+            }
+
+        return multi_step
+
+    def multi_step_device_feed(state: TrainState, batches):
+        videos = batches["videos"]
+
+        def body(state, plan):
+            batch = augment(videos, plan)
+            state, out = step(state, batch)
+            return state, (
+                out["metrics"],
+                out["video_prediction"],
+                out["video_deformed"],
+                out["kp_joined"],
+                batch["source"],
+                batch["video"],
+            )
+
+        state, (metrics, vp, vd, kp, src, vid) = jax.lax.scan(
+            body, state, batches["plans"]
+        )
         return state, {
             "metrics": metrics,
             "video_prediction": vp,
             "video_deformed": vd,
             "kp_joined": kp,
+            "source": src,
+            "video": vid,
         }
 
-    return multi_step
+    return multi_step_device_feed
 
 
 def metric_names(train_params) -> list:

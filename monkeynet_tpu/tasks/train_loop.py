@@ -143,24 +143,75 @@ def train(config, log_dir, dataset, checkpoint=None, seed=0, num_devices=1,
     total_steps = max(
         1, (train_params["num_epochs"] - start_epoch) * steps_per_epoch
     )
+    # Default 32: the tunneled H2D path costs ~50 ms fixed per device_put
+    # plus ~15 GB/s-equivalent marginal bytes (measured), and per-dispatch
+    # host work is ~30 ms — at k=30 both amortize to ~1 ms/step and hide
+    # behind the ~28 ms device step.
     k = largest_divisor_leq(
-        total_steps, int(train_params.get("steps_per_dispatch", 8))
+        total_steps, int(train_params.get("steps_per_dispatch", 32))
     )
+    # The loader's in-flight bound must cover ~2 chunks, or the worker
+    # pipeline fills its few slots during the device's compute window, goes
+    # idle, and the feeder then pulls the next k batches at production rate
+    # instead of from a warm buffer (measured: the difference between ~16
+    # and ~30 sustained steps/s on actions). Memory stays bounded:
+    # 2k batches of uint8 feed is ~50 MB at actions size.
+    loader.prefetch = max(loader.prefetch, 2 * k)
 
     mesh = None
     if num_devices > 1:
-        from monkeynet_tpu.parallel.mesh import (
-            make_mesh,
-            make_sharded_multi_train_step,
-        )
+        from monkeynet_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(num_devices)
+
+    # Device-resident feed (train_params.device_feed): the uint8 dataset is
+    # device_put ONCE and augmentation runs inside the train program from
+    # tiny host-built plans — see data/device_feed.py. This removes the
+    # per-step H2D pixel traffic that otherwise caps single-core hosts at
+    # ~2/3 of the chip's step rate (scripts/chunk_probe.py measurements).
+    device_feed = bool(train_params.get("device_feed", False))
+    augment = None
+    videos_dev = lengths = None
+    if device_feed:
+        from monkeynet_tpu.data.device_feed import (
+            build_video_cache,
+            make_device_augment,
+        )
+
+        transform = dataset.transform
+        if not (
+            hasattr(transform, "supports_device_feed")
+            and transform.supports_device_feed(image_shape[0], image_shape[1])
+        ):
+            raise ValueError(
+                "device_feed: true requires an augmentation pipeline with an "
+                "exact on-device formulation (nearest resize with ratio "
+                "> ~0.8 so the anti-alias prefilter stays identity); use the "
+                "host feed for this config"
+            )
+        videos_np, lengths = build_video_cache(dataset)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            videos_dev = jax.device_put(
+                videos_np, NamedSharding(mesh, P())
+            )
+        else:
+            videos_dev = jax.device_put(videos_np)
+        augment = make_device_augment(transform, image_shape)
+
+    if mesh is not None:
+        from monkeynet_tpu.parallel.mesh import make_sharded_multi_train_step
+
         step_fn = make_sharded_multi_train_step(
-            models, train_params, optimizer, mesh=mesh
+            models, train_params, optimizer, mesh=mesh, augment=augment
         )
     else:
         step_fn = jax.jit(
-            make_multi_train_step(models, train_params, optimizer, axis_name=None),
+            make_multi_train_step(
+                models, train_params, optimizer, axis_name=None,
+                augment=augment,
+            ),
             donate_argnums=0,
         )
 
@@ -189,15 +240,13 @@ def train(config, log_dir, dataset, checkpoint=None, seed=0, num_devices=1,
 
         def place(item):
             """Runs on the prefetch feeder thread: stack the chunk's k
-            batches and stage the device feed for chunk N+1 while chunk N
-            runs, so the consumer thread never waits on a host->device
-            transfer (the torch-DataLoader pinned-memory overlap, reference
-            train.py:99)."""
+            batches (or augmentation plans) and stage the device feed for
+            chunk N+1 while chunk N runs, so the consumer thread never waits
+            on a host->device transfer (the torch-DataLoader pinned-memory
+            overlap, reference train.py:99)."""
             eps, buf = item
-            x = {
-                key: np.stack([b[key] for b in buf])
-                for key in ("source", "video")
-            }
+            keys = buf[0].keys() if device_feed else ("source", "video")
+            x = {key: np.stack([b[key] for b in buf]) for key in keys}
             if mesh is not None:
                 # Explicit batch-axis placement (axis 1 of the (k, B, ...)
                 # stack); on multi-host runs each process contributes its
@@ -209,16 +258,34 @@ def train(config, log_dir, dataset, checkpoint=None, seed=0, num_devices=1,
                 x = shard_host_local_batch(x, mesh, batch_axis=1)
             else:
                 x = jax.device_put(x)
+            if device_feed:
+                # videos are already device-resident; passing the handle
+                # costs nothing per dispatch.
+                x = {"videos": videos_dev, "plans": x}
             return x, eps, buf
 
-        # ONE persistent worker pool across all epochs (loader.stream):
-        # per-epoch pools paid thread startup + a cold prefetch pipeline
-        # every epoch, the dominant loop overhead on 1-step-per-epoch
-        # recipes like actions.
-        for _, (x, eps, buf) in device_prefetch(
-            chunked(loader.stream(train_params["num_epochs"] - start_epoch)),
-            place,
-        ):
+        if device_feed:
+            from monkeynet_tpu.data.device_feed import plan_stream
+
+            stream = plan_stream(
+                dataset,
+                dataset.transform,
+                lengths,
+                local_batch_size,
+                seed,
+                start_epoch,
+                train_params["num_epochs"] - start_epoch,
+                num_shards=process_count,
+                shard_index=jax.process_index(),
+            )
+        else:
+            # ONE persistent worker pool across all epochs (loader.stream):
+            # per-epoch pools paid thread startup + a cold prefetch pipeline
+            # every epoch, the dominant loop overhead on 1-step-per-epoch
+            # recipes like actions.
+            stream = loader.stream(train_params["num_epochs"] - start_epoch)
+
+        for _, (x, eps, buf) in device_prefetch(chunked(stream), place):
             if profile_span and profile_span[0] != "on" and it >= profile_span[0]:
                 jax.profiler.start_trace(profile_dir)
                 profile_span = ("on", profile_span[1])
@@ -258,6 +325,14 @@ def train(config, log_dir, dataset, checkpoint=None, seed=0, num_devices=1,
                     "video_deformed": np.asarray(out["video_deformed"][j]),
                     **kp_parts,
                 }
+                if device_feed:
+                    # The augmented inputs only exist on-device; the multi
+                    # step returns them per step for exactly this purpose.
+                    vis_inp = {
+                        "source": np.asarray(out["source"][j]),
+                        "video": np.asarray(out["video"][j]),
+                    }
+                    return vis_inp, vis_out
                 # The visualizer expects [0,1] floats; undo the uint8 feed
                 # quantization (log steps only).
                 vis_inp = {
