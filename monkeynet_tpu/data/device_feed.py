@@ -43,16 +43,36 @@ from monkeynet_tpu.data.augmentation import (
 from monkeynet_tpu.data.io import read_video
 
 
-def build_video_cache(dataset):
+class CacheOverBudget(Exception):
+    """The padded device cache would exceed the HBM budget.
+
+    Carries (estimated_bytes, budget_bytes); estimated_bytes is a LOWER
+    bound when raised mid-decode (N × longest-video-so-far × frame)."""
+
+    def __init__(self, estimated_bytes: int, budget_bytes: int):
+        self.estimated_bytes = int(estimated_bytes)
+        self.budget_bytes = int(budget_bytes)
+        super().__init__(
+            f"device-feed cache needs >= {estimated_bytes / 2**30:.2f} GiB "
+            f"padded, budget is {budget_bytes / 2**30:.2f} GiB"
+        )
+
+
+def build_video_cache(dataset, budget_bytes: Optional[int] = None):
     """Decode every video of `dataset` once -> (videos, lengths) numpy.
 
     videos: (N, Tmax, H, W, C) uint8, zero-padded past each video's length
     (plans only ever index real frames). Reuses the dataset's uint8 cache
-    when present.
+    when present. With `budget_bytes`, raises CacheOverBudget as soon as the
+    running lower bound N × Tmax-so-far × frame_bytes exceeds it — before
+    wasting a full decode of a dataset that can never fit.
     """
     h, w, c = dataset.image_shape
+    n = len(dataset)
+    frame_bytes = h * w * c
     clips = []
-    for i in range(len(dataset)):
+    tmax = 0
+    for i in range(n):
         cached = dataset._cache.get(i) if dataset.cache_videos else None
         if cached is None:
             path = os.path.join(dataset.root_dir, dataset.images[i])
@@ -61,12 +81,57 @@ def build_video_cache(dataset):
             if dataset.cache_videos:
                 dataset._cache[i] = cached
         clips.append(cached)
+        tmax = max(tmax, len(cached))
+        if budget_bytes is not None and n * tmax * frame_bytes > budget_bytes:
+            raise CacheOverBudget(n * tmax * frame_bytes, budget_bytes)
     lengths = np.asarray([len(v) for v in clips], np.int32)
-    tmax = int(lengths.max())
     videos = np.zeros((len(clips), tmax, h, w, c), np.uint8)
     for i, v in enumerate(clips):
         videos[i, : len(v)] = v
     return videos, lengths
+
+
+def cache_budget_bytes(train_params, device=None):
+    """HBM byte budget for the device-resident video cache.
+
+    `train_params.device_feed_hbm_gb` pins it explicitly; otherwise it is
+    half the device's allocator limit (jax memory_stats) so the cache can
+    never crowd out model state + activations, falling back to 8 GB when the
+    backend doesn't report a limit (e.g. the CPU mesh used in tests). The
+    reference never assumes the dataset fits in device memory — it streams
+    from disk (reference frames_dataset.py:14-40) — so an over-budget
+    dataset must degrade to the host feed, not die in the allocator.
+    """
+    explicit = (train_params or {}).get("device_feed_hbm_gb")
+    if explicit is not None:
+        return int(float(explicit) * (1 << 30))
+    limit = None
+    if device is None:
+        import jax
+
+        device = jax.devices()[0]
+    try:
+        stats = device.memory_stats() or {}
+        limit = stats.get("bytes_limit")
+    except Exception:
+        limit = None
+    if limit:
+        return int(limit) // 2
+    return 8 << 30
+
+
+def padding_overhead(lengths, image_shape):
+    """(padded_bytes, real_bytes) of the (N, Tmax, H, W, C) uint8 cache.
+
+    Ragged datasets pay Tmax padding multiplicatively; the train loop logs
+    the ratio so an eviction decision is explainable.
+    """
+    h, w, c = image_shape
+    lengths = np.asarray(lengths, np.int64)
+    n = int(lengths.shape[0])
+    tmax = int(lengths.max()) if n else 0
+    frame = h * w * c  # uint8: 1 byte/elem
+    return n * tmax * frame, int(lengths.sum()) * frame
 
 
 def collate_plans(video_idx, plans):

@@ -174,8 +174,11 @@ def train(config, log_dir, dataset, checkpoint=None, seed=0, num_devices=1,
     videos_dev = lengths = None
     if device_feed:
         from monkeynet_tpu.data.device_feed import (
+            CacheOverBudget,
             build_video_cache,
+            cache_budget_bytes,
             make_device_augment,
+            padding_overhead,
         )
 
         transform = dataset.transform
@@ -189,16 +192,38 @@ def train(config, log_dir, dataset, checkpoint=None, seed=0, num_devices=1,
                 "> ~0.8 so the anti-alias prefilter stays identity); use the "
                 "host feed for this config"
             )
-        videos_np, lengths = build_video_cache(dataset)
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            videos_dev = jax.device_put(
-                videos_np, NamedSharding(mesh, P())
+        # HBM guard: the padded (N, Tmax, H, W, C) cache must fit the budget
+        # (train_params.device_feed_hbm_gb, default half the allocator
+        # limit). Over budget degrades to the host feed with a warning — the
+        # reference streams from disk and never assumes device residency
+        # (reference frames_dataset.py:14-40), so neither may we fail hard.
+        budget = cache_budget_bytes(train_params)
+        try:
+            videos_np, lengths = build_video_cache(dataset, budget_bytes=budget)
+        except CacheOverBudget as e:
+            print(
+                f"WARNING: device_feed disabled — {e}; set "
+                "train_params.device_feed_hbm_gb to raise the budget, or "
+                "leave the host feed (this run) for datasets larger than HBM"
             )
+            device_feed = False
         else:
-            videos_dev = jax.device_put(videos_np)
-        augment = make_device_augment(transform, image_shape)
+            padded, real = padding_overhead(lengths, image_shape)
+            if padded > 1.5 * real:
+                print(
+                    f"device_feed: Tmax padding overhead {padded / real:.2f}x "
+                    f"({padded / 2**30:.2f} GiB padded vs "
+                    f"{real / 2**30:.2f} GiB of real frames)"
+                )
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                videos_dev = jax.device_put(
+                    videos_np, NamedSharding(mesh, P())
+                )
+            else:
+                videos_dev = jax.device_put(videos_np)
+            augment = make_device_augment(transform, image_shape)
 
     if mesh is not None:
         from monkeynet_tpu.parallel.mesh import make_sharded_multi_train_step

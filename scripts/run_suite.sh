@@ -20,9 +20,25 @@ CHUNKS=(
   "tests/test_tasks.py tests/test_torch_checkpoint_file.py"
   # train/e2e/distributed
   "tests/test_train.py tests/test_frame_sharding.py"
-  "tests/test_e2e.py tests/test_transfer_engine.py"
+  "tests/test_e2e.py tests/test_transfer_engine.py tests/test_device_feed.py"
   "tests/test_pallas.py tests/test_graft_entry.py tests/test_distributed.py"
 )
+
+# Coverage guard: every tests/test_*.py must appear in a chunk, so a new test
+# file can never be silently skipped by this runner (the round-4 failure mode:
+# test_device_feed.py existed but no chunk named it).
+assigned=" ${CHUNKS[*]} "
+unassigned=()
+for f in tests/test_*.py; do
+  case "$assigned" in
+    *" $f "*) ;;
+    *) unassigned+=("$f") ;;
+  esac
+done
+if ((${#unassigned[@]})); then
+  echo "=== pytest ${unassigned[*]} (not in any named chunk) ==="
+  CHUNKS+=("${unassigned[*]}")
+fi
 
 rc=0
 for chunk in "${CHUNKS[@]}"; do

@@ -67,3 +67,26 @@ def test_all_eight_datasets_covered():
         "vox",
         "vox-full",
     } <= names
+
+
+@pytest.mark.parametrize("path", ALL_CONFIGS, ids=os.path.basename)
+def test_device_feed_coverage(path):
+    """Every config either enables device_feed (and its augmentation
+    pipeline passes the exactness gate) or carries an in-file comment saying
+    why the host feed is the right path (ARCHITECTURE.md 'Device-resident
+    feed')."""
+    from monkeynet_tpu.data.augmentation import AllAugmentationTransform
+    from monkeynet_tpu.utils.config import load_config
+
+    config = load_config(path)
+    dp = config["dataset_params"]
+    h, w, _ = dp.get("image_shape", (64, 64, 3))
+    tr = AllAugmentationTransform(**dp.get("augmentation_params", {}))
+    if config["train_params"].get("device_feed", False):
+        assert tr.supports_device_feed(h, w), path
+    else:
+        with open(path) as f:
+            text = f.read()
+        assert "device_feed" in text or "device feed" in text, (
+            f"{path}: device_feed disabled without a documented reason"
+        )

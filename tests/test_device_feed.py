@@ -287,3 +287,104 @@ def test_sharded_device_feed_matches_single_device(videos):
     ):
         np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
                                    rtol=1e-3, atol=1e-5)
+
+
+# ------------------------------------------------------------- HBM budget
+
+
+def _write_strip_dataset(root, videos):
+    import imageio.v2 as imageio
+
+    (root / "train").mkdir(parents=True)
+    (root / "test").mkdir()
+    for i in range(len(videos)):
+        strip = videos[i].transpose(1, 0, 2, 3).reshape(H, T * W, 3)
+        imageio.imsave(str(root / "train" / f"v{i:02d}.png"), strip)
+        if i < 2:
+            imageio.imsave(str(root / "test" / f"v{i:02d}.png"), strip)
+
+
+def test_padding_overhead_math():
+    from monkeynet_tpu.data.device_feed import padding_overhead
+
+    padded, real = padding_overhead([10, 4, 1], (8, 8, 3))
+    frame = 8 * 8 * 3
+    assert padded == 3 * 10 * frame
+    assert real == 15 * frame
+
+
+def test_cache_budget_bytes_explicit_and_default():
+    from monkeynet_tpu.data.device_feed import cache_budget_bytes
+
+    assert cache_budget_bytes({"device_feed_hbm_gb": 2}) == 2 << 30
+    assert cache_budget_bytes({"device_feed_hbm_gb": 0.5}) == 1 << 29
+
+    class FakeDev:
+        def memory_stats(self):
+            return {"bytes_limit": 16 << 30}
+
+    assert cache_budget_bytes({}, device=FakeDev()) == 8 << 30
+
+    class NoStats:
+        def memory_stats(self):
+            return None
+
+    assert cache_budget_bytes({}, device=NoStats()) == 8 << 30
+
+
+def test_build_video_cache_over_budget_raises_early(tmp_path, videos):
+    from monkeynet_tpu.data.dataset import FramesDataset
+    from monkeynet_tpu.data.device_feed import CacheOverBudget
+
+    root = tmp_path / "ds"
+    _write_strip_dataset(root, videos)
+    ds = FramesDataset(
+        is_train=True, root_dir=str(root), image_shape=(H, W, 3),
+        augmentation_params={"crop_param": {"size": (H, W)}},
+        cache_videos=True,
+    )
+    with pytest.raises(CacheOverBudget) as e:
+        build_video_cache(ds, budget_bytes=1024)
+    assert e.value.budget_bytes == 1024
+    assert e.value.estimated_bytes > 1024
+    # a generous budget still builds fine
+    cache, lengths = build_video_cache(ds, budget_bytes=1 << 30)
+    assert cache.shape == (N, T, H, W, 3)
+
+
+def test_train_falls_back_to_host_feed_over_budget(tmp_path, videos, capsys):
+    """device_feed over the HBM budget degrades to the host feed with a
+    warning instead of an allocator error, and the run still trains."""
+    from monkeynet_tpu.data.dataset import FramesDataset
+    from monkeynet_tpu.tasks.train_loop import train
+
+    root = tmp_path / "ds"
+    _write_strip_dataset(root, videos)
+
+    config = copy.deepcopy(TINY_CONFIG)
+    config["dataset_params"] = {
+        "root_dir": str(root),
+        "image_shape": [H, W, 3],
+        "augmentation_params": {
+            "flip_param": {"time_flip": True, "horizontal_flip": True},
+            "crop_param": {"size": [H, W]},
+        },
+        "cache_videos": True,
+    }
+    config["train_params"].update(
+        num_epochs=1, batch_size=2, steps_per_dispatch=2,
+        device_feed=True, device_feed_hbm_gb=1e-6,
+    )
+    config["train_params"]["log_params"] = {
+        "log_freq_iter": 1, "cpk_freq_epoch": 10,
+    }
+    ds = FramesDataset(is_train=True, **config["dataset_params"])
+    out_dir = tmp_path / "log_fallback"
+    out_dir.mkdir()
+    state = train(config, str(out_dir), ds, seed=0)
+    captured = capsys.readouterr()
+    assert "device_feed disabled" in captured.out
+    for leaf in jax.tree.leaves(state.params):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+    with open(out_dir / "log.txt") as f:
+        assert f.read().strip()
