@@ -55,6 +55,30 @@ def test_shapes128_fixture_reproducible():
     assert np.array_equal(strip, np.asarray(imageio.imread(fixture))[..., :3])
 
 
+def test_shapes256_fixture_reproducible():
+    """data/shapes256 is regenerable byte-for-byte from
+    scripts/make_shapes128.py --size 256 (the committed fixture behind
+    configs/shapes-256.yaml's flagship-resolution recipe)."""
+    import sys
+
+    import imageio
+    import numpy as np
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    fixture = os.path.join(root, "data", "shapes256", "train", "train00000.png")
+    if not os.path.exists(fixture):
+        pytest.skip("shapes256 fixture not present")
+    sys.path.insert(0, os.path.join(root, "scripts"))
+    try:
+        from make_shapes128 import render_video
+    finally:
+        sys.path.pop(0)
+    rng = np.random.default_rng(0)
+    frames = render_video(rng, 256, 32)
+    strip = frames.transpose(1, 0, 2, 3).reshape(256, 32 * 256, 3)
+    assert np.array_equal(strip, np.asarray(imageio.imread(fixture))[..., :3])
+
+
 def test_all_eight_datasets_covered():
     names = {os.path.basename(p).replace(".yaml", "") for p in ALL_CONFIGS}
     assert {
