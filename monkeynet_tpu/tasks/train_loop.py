@@ -370,6 +370,12 @@ def train(config, log_dir, dataset, checkpoint=None, seed=0, num_devices=1,
 
             # Metrics stay a device array; rows materialize at boundaries.
             logger.log_chunk(it, names, out["metrics"], nsteps, vis=vis)
+            # Release the chunk's stacked visual outputs NOW: the loop
+            # variable would otherwise keep them alive while the NEXT chunk
+            # executes, and (k, B, Dv, H, W, C) visuals are ~1 GB of HBM at
+            # 256^2 k=30 — the margin between fitting and ResourceExhausted
+            # on the second dispatch (measured, shapes-256 round 5).
+            out = vis = None
             it += nsteps
             epoch_steps += nsteps
             if epoch_steps >= steps_per_epoch:
