@@ -114,6 +114,83 @@ class _BlockDiagConv2D(nn.Module):
         return y
 
 
+class _PhaseUpConv2D(nn.Module):
+    """3x3 conv on a nearest-2x-upsampled input WITHOUT materializing the
+    upsample.
+
+    Uses the transposed-conv identity: nearest-2x is zero-insertion convolved
+    with a 2x2 box, so `conv3x3(nearest2(x)) == conv(x, T @ k @ T^T,
+    lhs_dilation=2, pad 2)` where T = [[1,0,0],[1,1,0],[0,1,1],[0,0,1]] forms
+    the 4 row/column tap-sums (even output rows see taps (w0 | w1+w2), odd
+    rows (w0+w1 | w2), same for columns). One lhs-dilated conv lets XLA's
+    convolution emitter own the phase bookkeeping — an explicit
+    phase-blocks + depth-to-space formulation was measured SLOWER than the
+    materialized upsample (the full-res interleave relayout cost more than
+    the 2.25x conv-FLOP saving; see log_r5/trace_ops_taichi_b32_*.json).
+
+    The parameter keeps the (3, 3, Cin, Cout) shape/init of the plain conv —
+    pytree, fan-in, and checkpoint/torch-import format are unchanged; tap
+    sums are formed in f32 at apply time. Exactly equivalent (up to float
+    summation order) to `resize_nearest(x, 2x) |> conv3x3 SAME`, including
+    zero-padding at the borders (tested in tests/test_blocks.py).
+    """
+
+    features: int
+    use_bias: bool
+    dtype: Optional[Dtype]
+    kernel_init: Any
+    bias_init: Any
+
+    @nn.compact
+    def __call__(self, x):  # (N, H, W, Cin) -> (N, 2H, 2W, Cout)
+        cin = x.shape[-1]
+        co = self.features
+        kernel = self.param("kernel", self.kernel_init, (3, 3, cin, co))
+        w = kernel.astype(jnp.float32)
+        tap_sum = jnp.asarray(
+            [[1, 0, 0], [1, 1, 0], [0, 1, 1], [0, 0, 1]], dtype=jnp.float32
+        )
+        k4 = jnp.einsum("ua,vb,abio->uvio", tap_sum, tap_sum, w)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            k4 = k4.astype(self.dtype)
+        else:
+            common = jnp.promote_types(x.dtype, kernel.dtype)
+            x, k4 = x.astype(common), k4.astype(common)
+        out = jax.lax.conv_general_dilated(
+            x, k4, (1, 1), ((2, 2), (2, 2)), lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )  # (N, 2H, 2W, co)
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (co,))
+            out = out + bias.astype(out.dtype)
+        return out
+
+
+class _UpsampleConv3D(nn.Module):
+    """nearest-2x upsample + spatial (1,3,3) SAME conv over (B,D,H,W,C),
+    fused via _PhaseUpConv2D. Param tree matches Conv3D(name='conv') so
+    UpBlock checkpoints are unchanged."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        B, D, H, W, C = x.shape
+        fan_in = C * 9
+        y = _PhaseUpConv2D(
+            self.features,
+            self.use_bias,
+            self.dtype,
+            torch_kernel_init,
+            torch_bias_init(fan_in),
+            name="conv",
+        )(x.reshape(B * D, H, W, C))
+        return y.reshape(B, D, 2 * H, 2 * W, self.features)
+
+
 class Conv3D(nn.Module):
     """Conv over (B, D, H, W, C) with torch-default init.
 
@@ -293,9 +370,14 @@ class UpBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        H, W = x.shape[-3], x.shape[-2]
-        x = resize_nearest(x, (2 * H, 2 * W))
-        x = Conv3D(self.features, self.kernel_size, self.padding, name="conv")(x)
+        if self.kernel_size == (1, 3, 3) and self.padding == (0, 1, 1):
+            # Fused lhs-dilated path: identical math and identical param
+            # tree, never materializes the 2x-upsampled activation.
+            x = _UpsampleConv3D(self.features, name="conv")(x)
+        else:
+            H, W = x.shape[-3], x.shape[-2]
+            x = resize_nearest(x, (2 * H, 2 * W))
+            x = Conv3D(self.features, self.kernel_size, self.padding, name="conv")(x)
         x = SyncBatchNorm(self.features, axis_name=self.axis_name, name="norm")(x, train)
         return nn.relu(x)
 

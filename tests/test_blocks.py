@@ -34,3 +34,89 @@ def test_grouped_conv_promotes_bf16_input_like_nn_conv():
     np.testing.assert_allclose(
         np.asarray(y16), np.asarray(y32), rtol=0, atol=0.05
     )
+
+
+class TestFusedUpsampleConv:
+    """_PhaseUpConv2D == resize_nearest(2x) |> conv3x3 SAME, exactly.
+
+    The fused lhs-dilated (transposed-conv) formulation must be
+    value-equivalent (up to float summation order) to the materialized form
+    for every (H, W) including odd sizes, must keep the (3,3,Cin,Cout) param
+    tree of the plain conv, and must carry gradients through the tap-sum
+    reparameterization.
+    """
+
+    def _both(self, H, W, cin=5, cout=7, seed=0):
+        from monkeynet_tpu.models.blocks import _PhaseUpConv2D
+        from monkeynet_tpu.ops.sampling import resize_nearest
+
+        rng = np.random.RandomState(seed)
+        x = jnp.asarray(rng.randn(2, H, W, cin).astype(np.float32))
+        m = _PhaseUpConv2D(
+            cout, True, None,
+            jax.nn.initializers.normal(1.0),
+            jax.nn.initializers.normal(1.0),
+        )
+        variables = m.init(jax.random.PRNGKey(seed), x)
+        fused = m.apply(variables, x)
+
+        k = variables["params"]["kernel"]
+        b = variables["params"]["bias"]
+        up = resize_nearest(x, (2 * H, 2 * W))
+        ref = jax.lax.conv_general_dilated(
+            up, k, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b
+        return fused, ref, variables, x, m
+
+    @pytest.mark.parametrize("hw", [(4, 4), (5, 3), (1, 1), (7, 8)])
+    def test_value_equivalence(self, hw):
+        fused, ref, *_ = self._both(*hw)
+        assert fused.shape == ref.shape
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(ref), rtol=1e-5, atol=1e-5
+        )
+
+    def test_param_tree_matches_plain_conv(self):
+        *_, variables, _, _ = self._both(4, 4, cin=5, cout=7)
+        assert variables["params"]["kernel"].shape == (3, 3, 5, 7)
+        assert variables["params"]["bias"].shape == (7,)
+
+    def test_gradients_match_materialized_form(self):
+        from monkeynet_tpu.ops.sampling import resize_nearest
+
+        fused, ref, variables, x, m = self._both(4, 6)
+
+        def loss_fused(p):
+            return jnp.sum(m.apply({"params": p}, x) ** 2)
+
+        def loss_ref(p):
+            up = resize_nearest(x, (2 * x.shape[1], 2 * x.shape[2]))
+            y = jax.lax.conv_general_dilated(
+                up, p["kernel"], (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + p["bias"]
+            return jnp.sum(y ** 2)
+
+        g1 = jax.grad(loss_fused)(variables["params"])
+        g2 = jax.grad(loss_ref)(variables["params"])
+        for k in ("kernel", "bias"):
+            np.testing.assert_allclose(
+                np.asarray(g1[k]), np.asarray(g2[k]), rtol=1e-4, atol=1e-4
+            )
+
+    def test_upblock_uses_fused_path_with_same_checkpoint_tree(self):
+        # An UpBlock initialized before this change must restore bit-for-bit:
+        # same param names, shapes, and (torch-default) init distribution.
+        from monkeynet_tpu.models.blocks import UpBlock
+
+        x = jnp.asarray(
+            np.random.RandomState(0).randn(2, 1, 4, 4, 6).astype(np.float32)
+        )
+        m = UpBlock(features=8)
+        variables = m.init(jax.random.PRNGKey(0), x, True)
+        p = variables["params"]
+        assert p["conv"]["conv"]["kernel"].shape == (3, 3, 6, 8)
+        assert p["conv"]["conv"]["bias"].shape == (8,)
+        y = m.apply(variables, x, False)
+        assert y.shape == (2, 1, 8, 8, 8)
