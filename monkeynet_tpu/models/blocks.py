@@ -27,6 +27,7 @@ Decoder (skip-concat U-Net), Hourglass (Encoder o Decoder).
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Optional, Sequence, Tuple
 
 import jax
@@ -165,6 +166,15 @@ class _PhaseUpConv2D(nn.Module):
             bias = self.param("bias", self.bias_init, (co,))
             out = out + bias.astype(out.dtype)
         return out
+
+
+def _fused_upconv_enabled() -> bool:
+    """Env kill-switch for the fused lhs-dilated UpBlock conv
+    (MONKEYNET_FUSED_UPCONV=0 restores the materialized upsample+conv).
+    Read at trace time; the two paths are value/gradient-equivalent and
+    share one param tree, so flipping it never invalidates a checkpoint.
+    bench.py uses the off-path to count the MODEL-formulation FLOPs."""
+    return os.environ.get("MONKEYNET_FUSED_UPCONV", "1") != "0"
 
 
 class _UpsampleConv3D(nn.Module):
@@ -370,7 +380,11 @@ class UpBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        if self.kernel_size == (1, 3, 3) and self.padding == (0, 1, 1):
+        if (
+            self.kernel_size == (1, 3, 3)
+            and self.padding == (0, 1, 1)
+            and _fused_upconv_enabled()
+        ):
             # Fused lhs-dilated path: identical math and identical param
             # tree, never materializes the 2x-upsampled activation.
             x = _UpsampleConv3D(self.features, name="conv")(x)

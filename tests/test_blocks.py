@@ -105,6 +105,30 @@ class TestFusedUpsampleConv:
                 np.asarray(g1[k]), np.asarray(g2[k]), rtol=1e-4, atol=1e-4
             )
 
+    def test_env_gate_switches_paths_and_values_match(self, monkeypatch):
+        # MONKEYNET_FUSED_UPCONV=0 must restore the materialized
+        # upsample+conv (no lhs_dilation in the jaxpr), with the same param
+        # tree and the same values — bench.py counts model-formulation
+        # FLOPs through this gate.
+        from monkeynet_tpu.models.blocks import UpBlock
+
+        x = jnp.asarray(
+            np.random.RandomState(1).randn(2, 1, 6, 6, 5).astype(np.float32)
+        )
+        m = UpBlock(features=4)
+        variables = m.init(jax.random.PRNGKey(1), x, True)
+        y_fused = m.apply(variables, x, False)
+        jaxpr_fused = str(jax.make_jaxpr(lambda v: m.apply(v, x, False))(variables))
+        assert "lhs_dilation=(2, 2)" in jaxpr_fused
+
+        monkeypatch.setenv("MONKEYNET_FUSED_UPCONV", "0")
+        y_plain = m.apply(variables, x, False)
+        jaxpr_plain = str(jax.make_jaxpr(lambda v: m.apply(v, x, False))(variables))
+        assert "lhs_dilation=(2, 2)" not in jaxpr_plain
+        np.testing.assert_allclose(
+            np.asarray(y_fused), np.asarray(y_plain), rtol=1e-5, atol=1e-5
+        )
+
     def test_upblock_uses_fused_path_with_same_checkpoint_tree(self):
         # An UpBlock initialized before this change must restore bit-for-bit:
         # same param names, shapes, and (torch-default) init distribution.
