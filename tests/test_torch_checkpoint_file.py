@@ -192,7 +192,9 @@ def test_adam_moments_import_layout(minted_checkpoint):
 
 
 @needs_ref
-def test_torch_optimizer_resume_one_step_matches_reference(minted_checkpoint):
+def test_torch_optimizer_resume_one_step_matches_reference(
+    minted_checkpoint, monkeypatch
+):
     """Resume training from the minted .pth.tar in BOTH frameworks and take
     one identical iteration: with the Adam moments restored, the parameter
     updates match closely; with cold optimizers they do not. This is the
@@ -200,7 +202,15 @@ def test_torch_optimizer_resume_one_step_matches_reference(minted_checkpoint):
     optimizers (reference logger.py:49-66, train.py:84-90).
 
     Both sides run a constant lr (the reference's scheduler is epoch-driven
-    and out of scope here — multistep_lr has its own tests)."""
+    and out of scope here — multistep_lr has its own tests).
+
+    Runs the MATERIALIZED up-conv (torch's exact formulation): the fused
+    lhs-dilated form reorders f32 summation, and Adam's grad/sqrt(v)
+    normalization amplifies that on near-zero-gradient elements past this
+    test's tight distribution bounds. Formulation equivalence is pinned
+    separately in tests/test_blocks.py; this test isolates optimizer-state
+    restore."""
+    monkeypatch.setenv("MONKEYNET_FUSED_UPCONV", "0")
     import copy as _copy
 
     import jax
