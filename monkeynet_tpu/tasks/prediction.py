@@ -26,6 +26,7 @@ import optax
 from monkeynet_tpu.data.augmentation import VideoToTensor
 from monkeynet_tpu.data.dataset import FramesDataset
 from monkeynet_tpu.data.io import write_gif, write_stacked_png
+from monkeynet_tpu.utils.async_write import AsyncWriter
 from monkeynet_tpu.data.loader import DataLoader
 from monkeynet_tpu.models.prediction import KeypointPredictor
 from monkeynet_tpu.tasks.animate import Animator, KPExtractor
@@ -183,40 +184,56 @@ def prediction(config, log_dir, checkpoint, num_devices: int = 1):
         is_train=False, transform=VideoToTensor(), **config["dataset_params"]
     )
     fmt = prediction_params.get("format", ".gif")
-    for it in range(len(test_set)):
-        x = test_set[it]
-        video = x["video"][None, :num_frames]
-        kp_init = extract_kp(video)
-        kp_init = {k: np.array(v) for k, v in kp_init.items()}
-        for k in kp_init:
-            kp_init[k][:, init_frames:] = 0
-        kp_source = {k: v[:, :1] for k, v in extract_kp(video[:, :1]).items()}
+    # Encode artifacts on a background writer so gif/png encoding overlaps
+    # the next video's device compute (see tasks/reconstruction.py).
+    with AsyncWriter(name="monkeynet-prediction-vis") as writer:
+        for it in range(len(test_set)):
+            x = test_set[it]
+            video = x["video"][None, :num_frames]
+            kp_init = extract_kp(video)
+            kp_init = {k: np.array(v) for k, v in kp_init.items()}
+            for k in kp_init:
+                kp_init[k][:, init_frames:] = 0
+            kp_source = {
+                k: v[:, :1] for k, v in extract_kp(video[:, :1]).items()
+            }
 
-        kp_video = predictor.apply(
-            {"params": pred_params}, {k: jnp.asarray(v) for k, v in kp_init.items()}
-        )
-        kp_video = {k: np.array(v) for k, v in kp_video.items()}
-        for k in kp_video:
-            kp_video[k][:, :init_frames] = kp_init[k][:, :init_frames]
-        if "var" in kp_video and prediction_params["predict_variance"]:
-            kp_video["var"] = np.repeat(
-                kp_init["var"][:, init_frames - 1 : init_frames],
-                kp_video["var"].shape[1],
-                axis=1,
+            kp_video = predictor.apply(
+                {"params": pred_params},
+                {k: jnp.asarray(v) for k, v in kp_init.items()},
             )
+            kp_video = {k: np.array(v) for k, v in kp_video.items()}
+            for k in kp_video:
+                kp_video[k][:, :init_frames] = kp_init[k][:, :init_frames]
+            if "var" in kp_video and prediction_params["predict_variance"]:
+                kp_video["var"] = np.repeat(
+                    kp_init["var"][:, init_frames - 1 : init_frames],
+                    kp_video["var"].shape[1],
+                    axis=1,
+                )
 
-        out = animate(
-            jnp.asarray(video[:, :1]),
-            {k: jnp.asarray(v) for k, v in kp_video.items()},
-            {k: jnp.asarray(v) for k, v in kp_source.items()},
-        )
-        out["kp_driving"] = kp_video
-        out["kp_source"] = kp_source
+            out = animate(
+                jnp.asarray(video[:, :1]),
+                {k: jnp.asarray(v) for k, v in kp_video.items()},
+                {k: jnp.asarray(v) for k, v in kp_source.items()},
+            )
+            out = {
+                k: np.asarray(v)
+                if not isinstance(v, dict)
+                else {kk: np.asarray(vv) for kk, vv in v.items()}
+                for k, v in out.items()
+            }
+            out["kp_driving"] = kp_video
+            out["kp_source"] = kp_source
 
-        write_stacked_png(
-            os.path.join(png_dir, x["name"] + ".png"), out["video_prediction"][0]
-        )
-        grid = visualizer.visualize_reconstruction(
-            {"source": video[:, :1], "video": video}, out
-        )
-        write_gif(os.path.join(log_dir, x["name"] + fmt), grid)
+            def job(name=x["name"], video=video, out=out):
+                write_stacked_png(
+                    os.path.join(png_dir, name + ".png"),
+                    out["video_prediction"][0],
+                )
+                grid = visualizer.visualize_reconstruction(
+                    {"source": video[:, :1], "video": video}, out
+                )
+                write_gif(os.path.join(log_dir, name + fmt), grid)
+
+            writer.submit(job)

@@ -20,6 +20,7 @@ from monkeynet_tpu.data.io import write_gif, write_stacked_png
 from monkeynet_tpu.tasks.animate import Animator, KPExtractor, TransferEngine
 from monkeynet_tpu.tasks.build import init_models
 from monkeynet_tpu.tasks.metrics import EmbeddingExtractor, aed, akd
+from monkeynet_tpu.utils.async_write import AsyncWriter
 from monkeynet_tpu.utils.checkpoint import load_any
 from monkeynet_tpu.utils.visualizer import Visualizer
 
@@ -96,40 +97,53 @@ def reconstruction(config, log_dir, dataset, checkpoint, num_devices: int = 1):
     fmt = config["reconstruction_params"].get("format", ".gif")
 
     loss_list, akd_list, aed_list = [], [], []
-    for it in range(len(dataset)):
-        # reference stops AFTER processing index == num_videos
-        if num_videos is not None and it > num_videos:
-            break
-        x = dataset[it]
-        video = x["video"][None]  # (1, D, H, W, C)
-        source = video[:, :1]
+    # Artifact encoding (stacked PNG + imageio gif palette quantization)
+    # dominates eval wall-clock at 256^2; run it on a background writer so
+    # it overlaps the NEXT video's device compute instead of serializing
+    # with it. close() below flushes before metrics are reported.
+    with AsyncWriter(name="monkeynet-recon-vis") as writer:
+        for it in range(len(dataset)):
+            # reference stops AFTER processing index == num_videos
+            if num_videos is not None and it > num_videos:
+                break
+            x = dataset[it]
+            video = x["video"][None]  # (1, D, H, W, C)
+            source = video[:, :1]
 
-        dev_out = engine(jnp.asarray(source), jnp.asarray(video))
-        out = {
-            "video_prediction": np.asarray(dev_out["video_prediction"]),
-            "video_deformed": np.asarray(dev_out["video_deformed"]),
-            "kp_driving": {
-                k: np.asarray(v) for k, v in dev_out["kp_driving"].items()
-            },
-            "kp_source": {
-                k: np.asarray(v) for k, v in dev_out["kp_source"].items()
-            },
-        }
+            dev_out = engine(jnp.asarray(source), jnp.asarray(video))
+            out = {
+                "video_prediction": np.asarray(dev_out["video_prediction"]),
+                "video_deformed": np.asarray(dev_out["video_deformed"]),
+                "kp_driving": {
+                    k: np.asarray(v) for k, v in dev_out["kp_driving"].items()
+                },
+                "kp_source": {
+                    k: np.asarray(v) for k, v in dev_out["kp_source"].items()
+                },
+            }
 
-        write_stacked_png(
-            os.path.join(png_dir, x["name"] + ".png"), out["video_prediction"][0]
-        )
-        grid = visualizer.visualize_reconstruction(
-            {"source": source, "video": video}, out
-        )
-        write_gif(os.path.join(log_dir, x["name"] + fmt), grid)
+            def job(name=x["name"], source=source, video=video, out=out):
+                write_stacked_png(
+                    os.path.join(png_dir, name + ".png"),
+                    out["video_prediction"][0],
+                )
+                grid = visualizer.visualize_reconstruction(
+                    {"source": source, "video": video}, out
+                )
+                write_gif(os.path.join(log_dir, name + fmt), grid)
 
-        loss_list.append(float(np.abs(out["video_prediction"] - video).mean()))
-        # kp_driving IS kp(gt frames) in self-reenactment; compare against kp
-        # detected on the generated frames.
-        kp_pred = kp_extractor(dev_out["video_prediction"])
-        akd_list.append(akd(out["kp_driving"], kp_pred, image_shape))
-        aed_list.append(aed(embedder(video), embedder(dev_out["video_prediction"])))
+            writer.submit(job)
+
+            loss_list.append(
+                float(np.abs(out["video_prediction"] - video).mean())
+            )
+            # kp_driving IS kp(gt frames) in self-reenactment; compare against
+            # kp detected on the generated frames.
+            kp_pred = kp_extractor(dev_out["video_prediction"])
+            akd_list.append(akd(out["kp_driving"], kp_pred, image_shape))
+            aed_list.append(
+                aed(embedder(video), embedder(dev_out["video_prediction"]))
+            )
 
     metrics = {
         "l1": float(np.mean(loss_list)),

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from monkeynet_tpu.data.dataset import PairedDataset
 from monkeynet_tpu.data.io import write_gif, write_stacked_png
+from monkeynet_tpu.utils.async_write import AsyncWriter
 from monkeynet_tpu.tasks.animate import Animator, KPExtractor, TransferEngine
 from monkeynet_tpu.tasks.reconstruction import load_eval_models
 from monkeynet_tpu.utils.visualizer import Visualizer
@@ -136,25 +137,37 @@ def transfer(config, log_dir, dataset, checkpoint, num_devices: int = 1):
         animate = Animator(models["generator"], gen_vars, mesh=mesh)
         extract_kp = KPExtractor(models["kp_detector"], kp_vars, mesh=mesh)
 
-    for it in range(len(pairs)):
-        x = pairs[it]
-        driving_video = x["driving_video"][None]
-        source_image = x["source_video"][None, :1]
-        if device_norm_ok:
-            out = engine(source_image, driving_video)
-            out = {
-                k: np.asarray(v)
-                if not isinstance(v, dict)
-                else {kk: np.asarray(vv) for kk, vv in v.items()}
-                for k, v in out.items()
-            }
-        else:
-            out = transfer_one(
-                animate, extract_kp, source_image, driving_video, transfer_params
-            )
-        name = "-".join([x["driving_name"], x["source_name"]])
-        write_stacked_png(
-            os.path.join(png_dir, name + ".png"), out["video_prediction"][0]
-        )
-        grid = visualizer.visualize_transfer(driving_video, source_image, out)
-        write_gif(os.path.join(log_dir, name + fmt), grid)
+    # Encode artifacts on a background writer so gif/png encoding overlaps
+    # the next pair's device compute (see tasks/reconstruction.py).
+    with AsyncWriter(name="monkeynet-transfer-vis") as writer:
+        for it in range(len(pairs)):
+            x = pairs[it]
+            driving_video = x["driving_video"][None]
+            source_image = x["source_video"][None, :1]
+            if device_norm_ok:
+                out = engine(source_image, driving_video)
+                out = {
+                    k: np.asarray(v)
+                    if not isinstance(v, dict)
+                    else {kk: np.asarray(vv) for kk, vv in v.items()}
+                    for k, v in out.items()
+                }
+            else:
+                out = transfer_one(
+                    animate, extract_kp, source_image, driving_video,
+                    transfer_params,
+                )
+            name = "-".join([x["driving_name"], x["source_name"]])
+
+            def job(name=name, out=out, driving_video=driving_video,
+                    source_image=source_image):
+                write_stacked_png(
+                    os.path.join(png_dir, name + ".png"),
+                    out["video_prediction"][0],
+                )
+                grid = visualizer.visualize_transfer(
+                    driving_video, source_image, out
+                )
+                write_gif(os.path.join(log_dir, name + fmt), grid)
+
+            writer.submit(job)

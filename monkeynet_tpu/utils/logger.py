@@ -16,6 +16,7 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from monkeynet_tpu.data.io import write_gif
+from monkeynet_tpu.utils.async_write import AsyncWriter
 from monkeynet_tpu.utils.checkpoint import save_checkpoint
 from monkeynet_tpu.utils.visualizer import Visualizer
 
@@ -44,6 +45,13 @@ class Logger:
         self.payload = None
         self._t_last = time.time()
         self._steps_since_log = 0
+        # Train-vis gifs rasterize+encode on a background thread: the encode
+        # is ~0.8 s per boundary on the actions recipe and would otherwise be
+        # charged to the dispatch thread's next log window (it is the gap
+        # between the device-resident step rate and log.txt's sustained
+        # rate). Spawned lazily on the first gif, joined at __exit__ — so
+        # gifs are on disk when train returns.
+        self._writer = None
 
     # ---------------------------------------------------------------- scores
     def log_scores(self, loss_names):
@@ -68,14 +76,17 @@ class Logger:
         self._steps_since_log = 0
 
     def visualize_rec(self, inp, out):
-        image = self.visualizer.visualize_reconstruction(inp, out)
-        write_gif(
-            os.path.join(
-                self.visualizations_dir,
-                f"{str(self.it).zfill(self.zfill_num)}-rec.gif",
-            ),
-            image,
+        path = os.path.join(
+            self.visualizations_dir,
+            f"{str(self.it).zfill(self.zfill_num)}-rec.gif",
         )
+
+        def job(inp=inp, out=out, path=path):
+            write_gif(path, self.visualizer.visualize_reconstruction(inp, out))
+
+        if self._writer is None:
+            self._writer = AsyncWriter(name="monkeynet-logger-vis")
+        self._writer.submit(job)
 
     # ----------------------------------------------------------- checkpoints
     def stage_payload(self, payload):
@@ -125,6 +136,17 @@ class Logger:
         if self.payload is not None:
             self.save_cpk(is_exit=True)
         self.log_file.close()
+        if self._writer is None:
+            return
+        if exc_type is not None:
+            # Don't mask the loop's exception with a writer failure; still
+            # drain so queued gifs land on disk.
+            try:
+                self._writer.close()
+            except Exception as e:
+                print(f"warning: train-vis writer failed during unwind ({e})")
+        else:
+            self._writer.close()
 
     def log_iter(self, it: int, names, values, inp=None, out=None):
         """`values` may be a device array: it is NOT materialized until the

@@ -155,3 +155,63 @@ def test_log_epoch_range_checkpointing(tmp_path):
         lg.log_epoch(12, {"state": 2}, prev_epoch=8)  # 9..12 crosses 10
         assert glob.glob(str(tmp_path / "*checkpoint*"))
         lg.payload = None  # don't re-save on exit
+
+
+def test_async_writer_runs_jobs_in_order_and_joins():
+    """AsyncWriter executes jobs FIFO on one worker; close() drains and
+    joins the thread (no leak)."""
+    import threading
+
+    from monkeynet_tpu.utils.async_write import AsyncWriter
+
+    before = threading.active_count()
+    ran = []
+    w = AsyncWriter(maxsize=2)
+    for i in range(6):
+        w.submit(lambda i=i: ran.append(i))
+    w.close()
+    assert ran == list(range(6))
+    assert threading.active_count() == before  # worker joined
+    w.close()  # idempotent
+
+
+def test_async_writer_propagates_job_failure():
+    """A job's exception surfaces on the caller thread (next submit or
+    close), never silently."""
+    import pytest
+
+    from monkeynet_tpu.utils.async_write import AsyncWriter
+
+    w = AsyncWriter()
+    w.submit(lambda: (_ for _ in ()).throw(RuntimeError("disk full")))
+    with pytest.raises(RuntimeError, match="disk full"):
+        w.flush()
+    w.close()
+
+
+def test_logger_gifs_written_by_context_exit(tmp_path):
+    """visualize_rec encodes on a background thread (the encode otherwise
+    blocks the dispatch thread at every log boundary); the context manager
+    joins it, so every boundary's gif is on disk when train() returns."""
+    import threading
+
+    B, D, H, W = 1, 2, 8, 8
+    video = np.random.RandomState(0).rand(B, D, H, W, 3).astype(np.float32)
+    kp = (np.random.RandomState(1).rand(B, D, 2, 2) * 2 - 1).astype(np.float32)
+    inp = {"source": video[:, :1], "video": video}
+    out = {
+        "video_prediction": video,
+        "video_deformed": video,
+        "kp_driving": {"mean": kp},
+        "kp_source": {"mean": kp[:, :1]},
+    }
+
+    before = threading.active_count()
+    with Logger(log_dir=str(tmp_path), log_freq_iter=1, cpk_freq_epoch=100) as lg:
+        for it in range(3):
+            lg.log_iter(it, ["a"], np.asarray([1.0]), inp=inp, out=out)
+    gifs = sorted(glob.glob(os.path.join(str(tmp_path), "train-vis", "*.gif")))
+    assert [os.path.basename(g) for g in gifs] == [
+        "00000000-rec.gif", "00000001-rec.gif", "00000002-rec.gif",
+    ]
+    assert threading.active_count() == before  # writer thread joined
